@@ -1,0 +1,47 @@
+from .blending import (
+    BlendParams,
+    hard_rgb_blend,
+    sigmoid_alpha_blend,
+    softmax_rgb_blend,
+)
+from .cameras import (
+    CamerasBase,
+    FoVOrthographicCameras,
+    FoVPerspectiveCameras,
+    OpenGLOrthographicCameras,
+    OpenGLPerspectiveCameras,
+    OrthographicCameras,
+    PerspectiveCameras,
+    SfMOrthographicCameras,
+    SfMPerspectiveCameras,
+    camera_position_from_spherical_angles,
+    get_ndc_to_screen_transform,
+    get_screen_to_ndc_transform,
+    get_world_to_view_transform,
+    look_at_rotation,
+    look_at_view_transform,
+    try_get_projection_transform,
+)
+from .lighting import AmbientLights, DirectionalLights, PointLights, diffuse, specular
+from .materials import Materials
+from .mesh import (
+    Fragments,
+    HardDepthShader,
+    HardFlatShader,
+    HardGouraudShader,
+    HardPhongShader,
+    MeshRasterizer,
+    MeshRenderer,
+    MeshRendererWithFragments,
+    RasterizationSettings,
+    SoftDepthShader,
+    SoftGouraudShader,
+    SoftPhongShader,
+    SoftSilhouetteShader,
+    TexturesAtlas,
+    TexturesUV,
+    TexturesVertex,
+    rasterize_meshes,
+)
+
+__all__ = [k for k in dir() if not k.startswith("_")]

@@ -1,0 +1,109 @@
+"""MeshRasterizer: camera transform + rasterization to Fragments.
+
+Parity: reference renderer/mesh/rasterizer.py (transform :171-217 keeps
+view-space z at :215, auto perspective_correct :237-251).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple, Union
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..cameras import try_get_projection_transform
+from .rasterize_meshes import rasterize_meshes
+
+
+@struct.dataclass
+class Fragments:
+    """Rasterizer outputs per pixel (reference rasterizer.py:20)."""
+
+    pix_to_face: jnp.ndarray  # (N, H, W, K) packed face ids, -1 empty
+    zbuf: jnp.ndarray  # (N, H, W, K)
+    bary_coords: jnp.ndarray  # (N, H, W, K, 3)
+    dists: jnp.ndarray  # (N, H, W, K) signed squared NDC distance
+
+    def detach(self) -> "Fragments":
+        import jax
+
+        return jax.lax.stop_gradient(self)
+
+
+class RasterizationSettings(NamedTuple):
+    """Rasterization configuration (reference rasterizer.py:75)."""
+
+    image_size: Union[int, Tuple[int, int]] = 256
+    blur_radius: float = 0.0
+    faces_per_pixel: int = 1
+    bin_size: Optional[int] = None
+    max_faces_per_bin: Optional[int] = None
+    perspective_correct: Optional[bool] = None
+    clip_barycentric_coords: Optional[bool] = None
+    cull_backfaces: bool = False
+    z_clip_value: Optional[float] = None
+    cull_to_frustum: bool = False
+
+
+class MeshRasterizer:
+    """Rasterize world-space meshes with a camera."""
+
+    def __init__(self, cameras=None, raster_settings: Optional[RasterizationSettings] = None):
+        self.cameras = cameras
+        self.raster_settings = raster_settings or RasterizationSettings()
+
+    def transform(self, meshes_world, **kwargs):
+        """World -> NDC-xy with view-space z kept in the z slot."""
+        cameras = kwargs.get("cameras", self.cameras)
+        if cameras is None:
+            raise ValueError(
+                "Cameras must be specified either at initialization or in the "
+                "forward pass of MeshRasterizer"
+            )
+        verts_world = meshes_world.verts_padded()
+        eps = kwargs.get("eps", None)
+        w2v = cameras.get_world_to_view_transform(**kwargs)
+        verts_view = w2v.transform_points(verts_world, eps=eps)
+        to_ndc = cameras.get_ndc_camera_transform(**kwargs)
+        projection = try_get_projection_transform(cameras, kwargs)
+        if projection is not None:
+            projection = projection.compose(to_ndc)
+            verts_ndc = projection.transform_points(verts_view, eps=eps)
+        else:
+            verts_proj = cameras.transform_points(verts_world, eps=eps)
+            verts_ndc = to_ndc.transform_points(verts_proj, eps=eps)
+        # Keep view-space z for depth ordering (reference rasterizer.py:215).
+        verts_ndc = verts_ndc.at[..., 2].set(verts_view[..., 2])
+        return meshes_world.update_padded(verts_ndc)
+
+    def __call__(self, meshes_world, **kwargs) -> Fragments:
+        return self.forward(meshes_world, **kwargs)
+
+    def forward(self, meshes_world, **kwargs) -> Fragments:
+        meshes_ndc = self.transform(meshes_world, **kwargs)
+        raster_settings = kwargs.get("raster_settings", self.raster_settings)
+        cameras = kwargs.get("cameras", self.cameras)
+
+        perspective_correct = raster_settings.perspective_correct
+        if perspective_correct is None:
+            perspective_correct = cameras.is_perspective()
+        clip_barycentric_coords = raster_settings.clip_barycentric_coords
+        if clip_barycentric_coords is None:
+            clip_barycentric_coords = raster_settings.blur_radius > 0.0
+
+        pix_to_face, zbuf, bary, dists = rasterize_meshes(
+            meshes_ndc,
+            image_size=raster_settings.image_size,
+            blur_radius=raster_settings.blur_radius,
+            faces_per_pixel=raster_settings.faces_per_pixel,
+            bin_size=raster_settings.bin_size,
+            max_faces_per_bin=raster_settings.max_faces_per_bin,
+            perspective_correct=perspective_correct,
+            clip_barycentric_coords=clip_barycentric_coords,
+            cull_backfaces=raster_settings.cull_backfaces,
+            z_clip_value=raster_settings.z_clip_value,
+            cull_to_frustum=raster_settings.cull_to_frustum,
+        )
+        return Fragments(
+            pix_to_face=pix_to_face, zbuf=zbuf, bary_coords=bary, dists=dists
+        )
