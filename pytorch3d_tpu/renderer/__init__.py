@@ -43,5 +43,17 @@ from .mesh import (
     TexturesVertex,
     rasterize_meshes,
 )
+from .points import (
+    AlphaCompositor,
+    NormWeightedCompositor,
+    PointFragments,
+    PointsRasterizationSettings,
+    PointsRasterizer,
+    PointsRenderer,
+    alpha_composite,
+    norm_weighted_sum,
+    rasterize_points,
+    weighted_sum,
+)
 
 __all__ = [k for k in dir() if not k.startswith("_")]
