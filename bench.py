@@ -1,0 +1,92 @@
+"""Headline benchmark: soft mesh rasterization forward+backward at 512².
+
+Mirrors the reference's bm_rasterize_meshes grid (tests/benchmarks/
+bm_rasterize_meshes.py:43-60: ico level 4, image 512, faces_per_pixel) and
+the BASELINE.json north-star config ("cow 512² soft-raster fwd+bwd").
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Runs on whatever jax.default_backend() is (real TPU chip under the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from pytorch3d_tpu.renderer import (
+        FoVPerspectiveCameras,
+        MeshRasterizer,
+        RasterizationSettings,
+        look_at_view_transform,
+    )
+    from pytorch3d_tpu.renderer.mesh.rasterize_meshes import (
+        interpolate_fragments,
+        rasterize_topk_xla,
+    )
+    from pytorch3d_tpu.utils import ico_sphere
+
+    image_size = 512
+    K = 8
+    blur = 1e-4
+
+    mesh = ico_sphere(4)  # 5120 faces (bm grid ico level 4)
+    R, T = look_at_view_transform(dist=2.7, elev=20.0, azim=30.0)
+    cameras = FoVPerspectiveCameras.create(R=R, T=T)
+    rasterizer = MeshRasterizer(
+        cameras,
+        RasterizationSettings(
+            image_size=image_size, blur_radius=blur, faces_per_pixel=K
+        ),
+    )
+    mesh_ndc = rasterizer.transform(mesh)
+    face_verts = mesh_ndc.verts_padded()[0][mesh_ndc.faces_padded()[0]]
+    valid = jnp.ones((face_verts.shape[0],), bool)
+
+    @jax.jit
+    def fwd_bwd(fv):
+        idx = rasterize_topk_xla(
+            fv, valid, (image_size, image_size), blur, K
+        )
+
+        def loss(fv_in):
+            zbuf, bary, dists = interpolate_fragments(
+                fv_in, idx, (image_size, image_size)
+            )
+            # soft-silhouette-style scalar: sigmoid of signed dists + z term
+            sil = jax.nn.sigmoid(-dists / 1e-4)
+            return jnp.sum(sil) * 1e-6 + jnp.sum(zbuf) * 1e-6
+
+        val, grad = jax.value_and_grad(loss)(fv)
+        return val, grad
+
+    # warmup/compile
+    v, g = fwd_bwd(face_verts)
+    jax.block_until_ready((v, g))
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        v, g = fwd_bwd(face_verts)
+    jax.block_until_ready((v, g))
+    dt = (time.perf_counter() - t0) / n_iters
+
+    mpix_s = image_size * image_size / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": f"soft_rasterize_{image_size}px_ico4_K{K}_fwd_bwd",
+                "value": round(mpix_s, 3),
+                "unit": "Mpix/s",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
