@@ -1,0 +1,352 @@
+"""Wavefront OBJ (+MTL) loading and saving.
+
+Parity: reference io/obj_io.py:78 (`load_obj`), :240 (`load_objs_as_meshes`),
+:688 (`save_obj`); MTL parsing mtl_io.py:494 and texture-atlas baking :24/:140.
+
+Host-side parsing (numpy); outputs are jnp arrays ready for the jitted
+pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import namedtuple
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_Faces = namedtuple("Faces", "verts_idx normals_idx textures_idx materials_idx")
+_Aux = namedtuple(
+    "Properties", "normals verts_uvs material_colors texture_images "
+    "texture_atlas texture_atlas_idx"
+)
+
+
+def _parse_face(tokens, materials_idx, faces_verts_idx, faces_normals_idx,
+                faces_textures_idx, faces_materials_idx):
+    face = tokens[1:]
+    face_list = [f.split("/") for f in face]
+    verts_idx, normals_idx, tex_idx = [], [], []
+    for vnt in face_list:
+        verts_idx.append(int(vnt[0]))
+        if len(vnt) > 1 and vnt[1] != "":
+            tex_idx.append(int(vnt[1]))
+        if len(vnt) > 2 and vnt[2] != "":
+            normals_idx.append(int(vnt[2]))
+    # fan-triangulate polygons (reference obj_io.py:35-50)
+    for i in range(len(verts_idx) - 2):
+        faces_verts_idx.append(
+            (verts_idx[0], verts_idx[i + 1], verts_idx[i + 2])
+        )
+        if tex_idx:
+            faces_textures_idx.append((tex_idx[0], tex_idx[i + 1], tex_idx[i + 2]))
+        if normals_idx:
+            faces_normals_idx.append(
+                (normals_idx[0], normals_idx[i + 1], normals_idx[i + 2])
+            )
+        faces_materials_idx.append(materials_idx)
+
+
+def _load_mtl(mtl_path: str, material_names: List[str], data_dir: str,
+              load_textures: bool = True):
+    """Parse an MTL file (reference mtl_io.py:494: load_mtl)."""
+    material_colors = {}
+    texture_files = {}
+    material_name = ""
+    if not os.path.isfile(mtl_path):
+        return None, None
+    with open(mtl_path, "r") as f:
+        for line in f:
+            tokens = line.strip().split()
+            if not tokens:
+                continue
+            if tokens[0] == "newmtl":
+                material_name = tokens[1]
+                material_colors[material_name] = {}
+            elif tokens[0] == "map_Kd" and len(tokens) > 1:
+                texture_files[material_name] = tokens[1]
+            elif tokens[0] in ("Kd", "Ka", "Ks") and len(tokens) == 4:
+                key = {"Kd": "diffuse_color", "Ka": "ambient_color",
+                       "Ks": "specular_color"}[tokens[0]]
+                material_colors[material_name][key] = np.asarray(
+                    [float(t) for t in tokens[1:4]], np.float32
+                )
+            elif tokens[0] == "Ns" and len(tokens) == 2:
+                material_colors[material_name]["shininess"] = np.asarray(
+                    float(tokens[1]), np.float32
+                )
+    texture_images = {}
+    if load_textures:
+        for name, fname in texture_files.items():
+            path = os.path.join(data_dir, fname)
+            if os.path.isfile(path):
+                from PIL import Image
+
+                im = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+                texture_images[name] = jnp.asarray(im)
+    material_colors = {
+        k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+        for k, v in material_colors.items()
+    }
+    return material_colors, texture_images
+
+
+def load_obj(
+    f,
+    load_textures: bool = True,
+    create_texture_atlas: bool = False,
+    texture_atlas_size: int = 4,
+    texture_wrap: Optional[str] = "repeat",
+    device=None,
+    path_manager=None,
+):
+    """Load a .obj file (reference io/obj_io.py:78).
+
+    Returns (verts (V, 3), faces namedtuple, aux namedtuple).
+    """
+    if hasattr(f, "read"):
+        lines = f.read()
+        if isinstance(lines, bytes):
+            lines = lines.decode("utf-8")
+        lines = lines.splitlines()
+        data_dir = "./"
+        fname = None
+    else:
+        fname = str(f)
+        data_dir = os.path.dirname(fname) or "./"
+        with open(fname, "r") as fh:
+            lines = fh.read().splitlines()
+
+    verts, normals, verts_uvs = [], [], []
+    faces_verts_idx: List[Tuple[int, int, int]] = []
+    faces_normals_idx: List = []
+    faces_textures_idx: List = []
+    faces_materials_idx: List[int] = []
+    material_names: List[str] = []
+    mtl_path = None
+    materials_idx = -1
+
+    for line in lines:
+        tokens = line.strip().split()
+        if not tokens:
+            continue
+        if tokens[0] == "v":
+            verts.append([float(x) for x in tokens[1:4]])
+        elif tokens[0] == "vt":
+            verts_uvs.append([float(x) for x in tokens[1:3]])
+        elif tokens[0] == "vn":
+            normals.append([float(x) for x in tokens[1:4]])
+        elif tokens[0] == "f":
+            _parse_face(tokens, materials_idx, faces_verts_idx,
+                        faces_normals_idx, faces_textures_idx,
+                        faces_materials_idx)
+        elif tokens[0] == "mtllib" and len(tokens) > 1:
+            mtl_path = os.path.join(data_dir, tokens[1])
+        elif tokens[0] == "usemtl":
+            name = tokens[1]
+            if name not in material_names:
+                material_names.append(name)
+            materials_idx = material_names.index(name)
+
+    V = len(verts)
+
+    def _fix(idx_list, n):
+        arr = np.asarray(idx_list, np.int64).reshape(-1, 3) if idx_list else np.zeros((0, 3), np.int64)
+        # OBJ is 1-indexed; negative indices count from the end
+        arr = np.where(arr > 0, arr - 1, arr + n)
+        return arr.astype(np.int32)
+
+    verts = jnp.asarray(np.asarray(verts, np.float32).reshape(-1, 3))
+    normals_arr = (
+        jnp.asarray(np.asarray(normals, np.float32).reshape(-1, 3))
+        if normals
+        else None
+    )
+    uvs_arr = (
+        jnp.asarray(np.asarray(verts_uvs, np.float32).reshape(-1, 2))
+        if verts_uvs
+        else None
+    )
+    faces_verts = jnp.asarray(_fix(faces_verts_idx, V))
+    faces_norm = (
+        jnp.asarray(_fix(faces_normals_idx, len(normals)))
+        if faces_normals_idx
+        else None
+    )
+    faces_tex = (
+        jnp.asarray(_fix(faces_textures_idx, len(verts_uvs)))
+        if faces_textures_idx
+        else None
+    )
+    faces_mat = jnp.asarray(np.asarray(faces_materials_idx, np.int32)) if faces_materials_idx else None
+
+    material_colors, texture_images = (None, None)
+    texture_atlas = None
+    texture_atlas_idx = None
+    if load_textures and mtl_path is not None:
+        material_colors, texture_images = _load_mtl(
+            mtl_path, material_names, data_dir, load_textures
+        )
+        if create_texture_atlas and texture_images and uvs_arr is not None and faces_tex is not None:
+            texture_atlas = make_mesh_texture_atlas(
+                material_colors or {},
+                texture_images,
+                material_names,
+                np.asarray(faces_mat),
+                np.asarray(uvs_arr),
+                np.asarray(faces_tex),
+                texture_atlas_size,
+                texture_wrap,
+            )
+
+    faces = _Faces(
+        verts_idx=faces_verts,
+        normals_idx=faces_norm,
+        textures_idx=faces_tex,
+        materials_idx=faces_mat,
+    )
+    aux = _Aux(
+        normals=normals_arr,
+        verts_uvs=uvs_arr,
+        material_colors=material_colors,
+        texture_images=texture_images,
+        texture_atlas=texture_atlas,
+        texture_atlas_idx=texture_atlas_idx,
+    )
+    return verts, faces, aux
+
+
+def make_mesh_texture_atlas(
+    material_colors,
+    texture_images,
+    material_names,
+    faces_materials_idx,
+    verts_uvs,
+    faces_textures_idx,
+    texture_size: int = 4,
+    texture_wrap: Optional[str] = "repeat",
+) -> jnp.ndarray:
+    """Bake a per-face RxR texture atlas (reference mtl_io.py:24).
+
+    Returns (F, R, R, 3).
+    """
+    F = faces_materials_idx.shape[0]
+    R = texture_size
+    atlas = np.zeros((F, R, R, 3), np.float32)
+
+    # barycentric sampling grid on the unit triangle (reference :140)
+    rng = (np.arange(R) + 0.5) / R
+    gy, gx = np.meshgrid(rng, rng, indexing="ij")
+    # map the unit square onto the triangle: (u, v*(1-u))
+    u = gx
+    v = gy * (1.0 - gx)
+    w = 1.0 - u - v
+    bary = np.stack([w, u, v], axis=-1)  # (R, R, 3)
+
+    for mi, name in enumerate(material_names):
+        fsel = np.where(faces_materials_idx == mi)[0]
+        if fsel.size == 0:
+            continue
+        if name in (texture_images or {}):
+            img = np.asarray(texture_images[name])
+            H, W = img.shape[:2]
+            uvs = verts_uvs[faces_textures_idx[fsel]]  # (Fm, 3, 2)
+            if texture_wrap == "repeat":
+                uvs = uvs % 1.0
+            elif texture_wrap == "clamp":
+                uvs = uvs.clip(0.0, 1.0)
+            # sample uv at barycentric grid
+            pix_uv = np.einsum("rsk,fkc->frsc", bary, uvs)  # (Fm, R, R, 2)
+            x = (pix_uv[..., 0] * (W - 1)).clip(0, W - 1)
+            y = ((1.0 - pix_uv[..., 1]) * (H - 1)).clip(0, H - 1)
+            atlas[fsel] = img[y.round().astype(int), x.round().astype(int)]
+        elif material_colors and name in material_colors and "diffuse_color" in material_colors[name]:
+            atlas[fsel] = np.asarray(material_colors[name]["diffuse_color"])
+    return jnp.asarray(atlas)
+
+
+def load_objs_as_meshes(
+    files: list,
+    device=None,
+    load_textures: bool = True,
+    create_texture_atlas: bool = False,
+    texture_atlas_size: int = 4,
+    texture_wrap: Optional[str] = "repeat",
+    path_manager=None,
+):
+    """Load obj files into a Meshes batch (reference io/obj_io.py:240)."""
+    from ..renderer.mesh.textures import TexturesAtlas, TexturesUV
+    from ..structures.meshes import Meshes, join_meshes_as_batch
+
+    mesh_list = []
+    for f_obj in files:
+        verts, faces, aux = load_obj(
+            f_obj,
+            load_textures=load_textures,
+            create_texture_atlas=create_texture_atlas,
+            texture_atlas_size=texture_atlas_size,
+            texture_wrap=texture_wrap,
+        )
+        tex = None
+        if create_texture_atlas and aux.texture_atlas is not None:
+            tex = TexturesAtlas.create(atlas=aux.texture_atlas[None])
+        elif load_textures and aux.verts_uvs is not None and faces.textures_idx is not None and aux.texture_images:
+            image = list(aux.texture_images.values())[0]
+            tex = TexturesUV.create(
+                maps=image[None],
+                faces_uvs=faces.textures_idx[None],
+                verts_uvs=aux.verts_uvs[None],
+            )
+        mesh = Meshes.create([verts], [faces.verts_idx], textures=tex)
+        mesh_list.append(mesh)
+    if len(mesh_list) == 1:
+        return mesh_list[0]
+    return join_meshes_as_batch(mesh_list)
+
+
+def save_obj(
+    f,
+    verts,
+    faces,
+    decimal_places: Optional[int] = None,
+    verts_uvs: Optional[jnp.ndarray] = None,
+    faces_uvs: Optional[jnp.ndarray] = None,
+    texture_map: Optional[jnp.ndarray] = None,
+) -> None:
+    """Save verts/faces (+ optional uv texture) to .obj (reference :688)."""
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    save_texture = all(
+        x is not None for x in (verts_uvs, faces_uvs, texture_map)
+    )
+    prec = decimal_places if decimal_places is not None else 6
+    name = str(f)
+    lines = []
+    if save_texture:
+        mtl_name = os.path.splitext(os.path.basename(name))[0]
+        lines.append(f"mtllib {mtl_name}.mtl")
+        lines.append(f"usemtl {mtl_name}")
+    for v in verts:
+        lines.append("v " + " ".join(f"{x:.{prec}f}" for x in v))
+    if save_texture:
+        for uv in np.asarray(verts_uvs):
+            lines.append("vt " + " ".join(f"{x:.{prec}f}" for x in uv))
+        for fv, ft in zip(faces, np.asarray(faces_uvs)):
+            lines.append(
+                "f " + " ".join(f"{a + 1}/{b + 1}" for a, b in zip(fv, ft))
+            )
+    else:
+        for fv in faces:
+            lines.append("f " + " ".join(str(int(x) + 1) for x in fv))
+    with open(name, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    if save_texture:
+        from PIL import Image
+
+        base = os.path.splitext(name)[0]
+        with open(base + ".mtl", "w") as fh:
+            fh.write(f"newmtl {os.path.basename(base)}\n")
+            fh.write(f"map_Kd {os.path.basename(base)}.png\n")
+        img = (np.asarray(texture_map) * 255).clip(0, 255).astype(np.uint8)
+        Image.fromarray(img).save(base + ".png")
