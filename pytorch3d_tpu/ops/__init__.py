@@ -1,5 +1,14 @@
 from .ball_query import ball_query
+from .cameras_alignment import corresponding_cameras_alignment
+from .cubify import cubify
 from .graph_conv import GraphConv, gather_scatter, gather_scatter_python
+from .iou_box3d import box3d_overlap
+from .marching_cubes import marching_cubes, marching_cubes_naive
+from .perspective_n_points import efficient_pnp
+from .points_to_volumes import (
+    add_points_features_to_volume_densities_features,
+    add_pointclouds_to_volumes,
+)
 from .grid_sample import grid_sample
 from .interp_face_attrs import (
     interpolate_face_attributes,
