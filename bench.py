@@ -24,10 +24,7 @@ def main() -> None:
         RasterizationSettings,
         look_at_view_transform,
     )
-    from pytorch3d_tpu.renderer.mesh.rasterize_meshes import (
-        interpolate_fragments,
-        rasterize_topk_xla,
-    )
+    from pytorch3d_tpu.renderer.mesh.rasterize_meshes import rasterize_meshes
     from pytorch3d_tpu.utils import ico_sphere
 
     image_size = 512
@@ -44,34 +41,30 @@ def main() -> None:
         ),
     )
     mesh_ndc = rasterizer.transform(mesh)
-    face_verts = mesh_ndc.verts_padded()[0][mesh_ndc.faces_padded()[0]]
-    valid = jnp.ones((face_verts.shape[0],), bool)
+    verts_ndc = mesh_ndc.verts_padded()
 
     @jax.jit
-    def fwd_bwd(fv):
-        idx = rasterize_topk_xla(
-            fv, valid, (image_size, image_size), blur, K
-        )
-
-        def loss(fv_in):
-            zbuf, bary, dists = interpolate_fragments(
-                fv_in, idx, (image_size, image_size)
+    def fwd_bwd(verts):
+        def loss(v_in):
+            m = mesh_ndc.update_padded(v_in)
+            pix, zbuf, bary, dists = rasterize_meshes(
+                m, image_size=image_size, blur_radius=blur, faces_per_pixel=K
             )
             # soft-silhouette-style scalar: sigmoid of signed dists + z term
             sil = jax.nn.sigmoid(-dists / 1e-4)
             return jnp.sum(sil) * 1e-6 + jnp.sum(zbuf) * 1e-6
 
-        val, grad = jax.value_and_grad(loss)(fv)
+        val, grad = jax.value_and_grad(loss)(verts)
         return val, grad
 
     # warmup/compile
-    v, g = fwd_bwd(face_verts)
+    v, g = fwd_bwd(verts_ndc)
     jax.block_until_ready((v, g))
 
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        v, g = fwd_bwd(face_verts)
+        v, g = fwd_bwd(verts_ndc)
     jax.block_until_ready((v, g))
     dt = (time.perf_counter() - t0) / n_iters
 

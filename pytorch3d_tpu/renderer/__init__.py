@@ -22,8 +22,33 @@ from .cameras import (
     look_at_view_transform,
     try_get_projection_transform,
 )
+from .camera_conversions import (
+    cameras_from_opencv_projection,
+    opencv_from_cameras_projection,
+)
+from .camera_utils import camera_to_eye_at_up, join_cameras_as_batch, rotate_on_spot
+from .fisheyecameras import FishEyeCameras
+from .implicit import (
+    AbsorptionOnlyRaymarcher,
+    EmissionAbsorptionRaymarcher,
+    GridRaysampler,
+    HarmonicEmbedding,
+    HeterogeneousRayBundle,
+    ImplicitRenderer,
+    MonteCarloRaysampler,
+    MultinomialRaysampler,
+    NDCGridRaysampler,
+    NDCMultinomialRaysampler,
+    RayBundle,
+    VolumeRenderer,
+    VolumeSampler,
+    ray_bundle_to_ray_points,
+    ray_bundle_variables_to_ray_points,
+    sample_pdf,
+)
 from .lighting import AmbientLights, DirectionalLights, PointLights, diffuse, specular
 from .materials import Materials
+from .utils import TensorProperties, ndc_grid_sample, ndc_to_grid_sample_coords
 from .mesh import (
     Fragments,
     HardDepthShader,

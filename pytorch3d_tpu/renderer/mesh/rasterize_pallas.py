@@ -1,0 +1,610 @@
+"""Pallas TPU kernel for the mesh-rasterization selection pass.
+
+This is the TPU equivalent of the reference's coarse+fine CUDA scheme
+(csrc/rasterize_coarse/rasterize_coarse.cu:76 binning,
+csrc/rasterize_meshes/rasterize_meshes.cu:630 fine kernel):
+
+1. **Binning (XLA)**: per-face NDC bounding boxes are intersected with
+   image tiles; each tile gets a static-capacity list of overlapping faces
+   (first-come order via the top_k(-idx) trick — no atomics, unlike the
+   CUDA bitmask+atomicAdd binning).  Overflowing faces are dropped exactly
+   like the CUDA path warns-and-drops (rasterize_coarse.cu:192-199); the
+   capacity heuristic mirrors rasterize_meshes.py:222.
+2. **Fine (Pallas)**: one grid step per image tile; the tile's pre-gathered
+   face data sits in VMEM laid out coordinate-major (9, MFT) so faces ride
+   the lane dimension, and a `fori_loop` walks them, evaluating edge
+   functions / z / blur-distance for the whole (T, T) pixel block on the
+   VPU and maintaining per-pixel ascending-z top-K buffers with a K-step
+   vectorized insertion chain (the register MinK of mink.cuh:41, but
+   SIMD-wide across the tile).
+
+Only the integer selection runs here; barycentrics/z/dists are recomputed
+differentiably outside (rasterize_meshes.interpolate_fragments), so no
+backward kernel is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rasterize_meshes import kEpsilon, pix_to_non_square_ndc
+
+_TILE = 128
+
+
+def _bin_faces(
+    face_verts: jnp.ndarray,  # (F, 3, 3)
+    valid: jnp.ndarray,  # (F,)
+    image_size: Tuple[int, int],
+    blur_radius: float,
+    tile: int,
+    max_faces_per_tile: int,
+):
+    """Assign faces to tiles -> (n_tiles, 9, MFT) coord-major + ids."""
+    H, W = image_size
+    n_ty = -(-H // tile)
+    n_tx = -(-W // tile)
+    F = face_verts.shape[0]
+    bl = float(blur_radius) ** 0.5 if blur_radius > 0 else 0.0
+
+    x = face_verts[:, :, 0]
+    y = face_verts[:, :, 1]
+    xmin = jnp.min(x, axis=1) - bl
+    xmax = jnp.max(x, axis=1) + bl
+    ymin = jnp.min(y, axis=1) - bl
+    ymax = jnp.max(y, axis=1) + bl
+
+    # tile NDC bounds; row 0 is +y (top), col 0 is +x (left)
+    rows0 = jnp.arange(n_ty) * tile
+    rows1 = jnp.minimum(rows0 + tile, H) - 1
+    cols0 = jnp.arange(n_tx) * tile
+    cols1 = jnp.minimum(cols0 + tile, W) - 1
+    ty_max = pix_to_non_square_ndc(H - 1 - rows0, H, W)
+    ty_min = pix_to_non_square_ndc(H - 1 - rows1, H, W)
+    tx_max = pix_to_non_square_ndc(W - 1 - cols0, W, H)
+    tx_min = pix_to_non_square_ndc(W - 1 - cols1, W, H)
+    half_px = float(max(2.0 * max(H / W, 1.0) / H, 2.0 * max(W / H, 1.0) / W))
+
+    oy = (ymin[None, :] <= ty_max[:, None] + half_px) & (
+        ymax[None, :] >= ty_min[:, None] - half_px
+    )  # (n_ty, F)
+    ox = (xmin[None, :] <= tx_max[:, None] + half_px) & (
+        xmax[None, :] >= tx_min[:, None] - half_px
+    )  # (n_tx, F)
+    overlap = oy[:, None, :] & ox[None, :, :] & valid[None, None, :]
+    overlap = overlap.reshape(n_ty * n_tx, F)
+
+    # first-MFT face ids per tile (ascending face id order)
+    score = jnp.where(overlap, -jnp.arange(F, dtype=jnp.float32)[None], -jnp.inf)
+    top, _ = jax.lax.top_k(score, min(max_faces_per_tile, F))
+    filled = jnp.isfinite(top)
+    ids = jnp.where(filled, (-top).astype(jnp.int32), -1)
+
+    gathered = face_verts[jnp.maximum(ids, 0)]  # (n_tiles, MFT, 3, 3)
+    # dropped slots must never cover any pixel: z < 0 kills them
+    dead = jnp.asarray(
+        [[2.0, 2.0, -1.0], [2.0, 2.0, -1.0], [2.0, 2.0, -1.0]],
+        face_verts.dtype,
+    )
+    gathered = jnp.where(filled[:, :, None, None], gathered, dead)
+    # coordinate-major layout: (n_tiles, 9, MFT)
+    fv9 = jnp.moveaxis(gathered.reshape(gathered.shape[0], -1, 9), 1, 2)
+    return fv9, ids[:, None, :], n_ty, n_tx
+
+
+def _seg_dist2(px, py, ax, ay, bx, by):
+    vx = bx - ax
+    vy = by - ay
+    l2 = vx * vx + vy * vy
+    tpar = ((px - ax) * vx + (py - ay) * vy) / jnp.maximum(l2, kEpsilon)
+    tpar = jnp.clip(tpar, 0.0, 1.0)
+    tpar = jnp.where(l2 <= kEpsilon, 1.0, tpar)
+    dx = px - (ax + tpar * vx)
+    dy = py - (ay + tpar * vy)
+    return dx * dx + dy * dy
+
+
+def _fine_kernel(
+    fv_ref,  # (9, MFT) coord-major tile faces in VMEM
+    ids_ref,  # (1, MFT)
+    idx_out,  # (K, T, T)
+    *,
+    n_tx: int,
+    image_size: Tuple[int, int],
+    blur_radius: float,
+    faces_per_pixel: int,
+    perspective_correct: bool,
+    clip_barycentric_coords: bool,
+    tile: int,
+):
+    H, W = image_size
+    K = faces_per_pixel
+    MFT = fv_ref.shape[1]
+    t = pl.program_id(0)
+    ty = t // n_tx
+    tx = t % n_tx
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0).astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1).astype(jnp.float32)
+    rows = ty.astype(jnp.float32) * tile + rr
+    cols = tx.astype(jnp.float32) * tile + cc
+    ns_y = 2.0 * max(H / W, 1.0)
+    ns_x = 2.0 * max(W / H, 1.0)
+    py = -(ns_y / 2.0) + (ns_y * (H - 1 - rows) + ns_y / 2.0) / H
+    px = -(ns_x / 2.0) + (ns_x * (W - 1 - cols) + ns_x / 2.0) / W
+
+    def body(j, carry):
+        best_z, best_idx = carry
+        v0x = fv_ref[0, j]
+        v0y = fv_ref[1, j]
+        v0z = fv_ref[2, j]
+        v1x = fv_ref[3, j]
+        v1y = fv_ref[4, j]
+        v1z = fv_ref[5, j]
+        v2x = fv_ref[6, j]
+        v2y = fv_ref[7, j]
+        v2z = fv_ref[8, j]
+        fid = ids_ref[0, j]
+
+        e0 = (px - v1x) * (v2y - v1y) - (py - v1y) * (v2x - v1x)
+        e1 = (px - v2x) * (v0y - v2y) - (py - v2y) * (v0x - v2x)
+        e2 = (px - v0x) * (v1y - v0y) - (py - v0y) * (v1x - v0x)
+        # area = edge_function(v2; v0, v1) (matches rasterize_meshes.py)
+        area = (v2x - v0x) * (v1y - v0y) - (v2y - v0y) * (v1x - v0x)
+        inv_area = 1.0 / (area + kEpsilon)
+        w0 = e0 * inv_area
+        w1 = e1 * inv_area
+        w2 = e2 * inv_area
+        inside = (w0 > 0.0) & (w1 > 0.0) & (w2 > 0.0)
+
+        if perspective_correct:
+            t0 = w0 * v1z * v2z
+            t1 = v0z * w1 * v2z
+            t2 = v0z * v1z * w2
+            denom = jnp.maximum(t0 + t1 + t2, kEpsilon)
+            wz0, wz1, wz2 = t0 / denom, t1 / denom, t2 / denom
+        else:
+            wz0, wz1, wz2 = w0, w1, w2
+        if clip_barycentric_coords:
+            wz0 = jnp.maximum(wz0, 0.0)
+            wz1 = jnp.maximum(wz1, 0.0)
+            wz2 = jnp.maximum(wz2, 0.0)
+            wsum = jnp.maximum(wz0 + wz1 + wz2, 1e-5)
+            wz0, wz1, wz2 = wz0 / wsum, wz1 / wsum, wz2 / wsum
+        pz = wz0 * v0z + wz1 * v1z + wz2 * v2z
+
+        if blur_radius > 0.0:
+            d2 = _seg_dist2(px, py, v0x, v0y, v1x, v1y)
+            d2 = jnp.minimum(d2, _seg_dist2(px, py, v1x, v1y, v2x, v2y))
+            d2 = jnp.minimum(d2, _seg_dist2(px, py, v0x, v0y, v2x, v2y))
+            covers = inside | (d2 < blur_radius)
+        else:
+            covers = inside
+
+        zero_area = jnp.abs(area) <= kEpsilon
+        covers = covers & (pz >= 0.0) & jnp.logical_not(zero_area)
+
+        cz = jnp.where(covers, pz, jnp.inf)
+        ci = jnp.where(covers, fid, -1)
+
+        new_z = []
+        new_i = []
+        for k in range(K):
+            take = cz < best_z[k]
+            nz = jnp.where(take, cz, best_z[k])
+            ni = jnp.where(take, ci, best_idx[k])
+            cz = jnp.where(take, best_z[k], cz)
+            ci = jnp.where(take, best_idx[k], ci)
+            new_z.append(nz)
+            new_i.append(ni)
+        return tuple(new_z), tuple(new_i)
+
+    init_z = tuple(jnp.full((tile, tile), jnp.inf, jnp.float32) for _ in range(K))
+    init_i = tuple(jnp.full((tile, tile), -1, jnp.int32) for _ in range(K))
+    _, best_idx = jax.lax.fori_loop(0, MFT, body, (init_z, init_i))
+    for k in range(K):
+        idx_out[k] = best_idx[k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "image_size",
+        "blur_radius",
+        "faces_per_pixel",
+        "perspective_correct",
+        "clip_barycentric_coords",
+        "cull_backfaces",
+        "max_faces_per_tile",
+    ),
+)
+def rasterize_topk_pallas(
+    face_verts: jnp.ndarray,  # (F, 3, 3) NDC xy + view z
+    valid: jnp.ndarray,  # (F,)
+    image_size: Tuple[int, int],
+    blur_radius: float = 0.0,
+    faces_per_pixel: int = 1,
+    perspective_correct: bool = False,
+    clip_barycentric_coords: bool = False,
+    cull_backfaces: bool = False,
+    max_faces_per_tile: Optional[int] = None,
+) -> jnp.ndarray:
+    """Per-pixel ascending-z top-K face ids via the Pallas tile kernel.
+
+    Returns idx (H, W, K), -1 for empty slots.
+    """
+    H, W = image_size
+    K = faces_per_pixel
+    F = face_verts.shape[0]
+
+    v0, v1, v2 = face_verts[:, 0], face_verts[:, 1], face_verts[:, 2]
+    area = (v2[:, 0] - v0[:, 0]) * (v1[:, 1] - v0[:, 1]) - (
+        v2[:, 1] - v0[:, 1]
+    ) * (v1[:, 0] - v0[:, 0])
+    zmax = jnp.maximum(jnp.maximum(v0[:, 2], v1[:, 2]), v2[:, 2])
+    ok = valid & (zmax >= 0) & ~((area <= kEpsilon) & (area >= -kEpsilon))
+    if cull_backfaces:
+        ok = ok & (area >= 0)
+
+    if max_faces_per_tile is None:
+        max_faces_per_tile = int(min(F, max(1024, F // 4)))
+    max_faces_per_tile = max(128, min(max_faces_per_tile, F))
+    max_faces_per_tile = -(-max_faces_per_tile // 128) * 128
+
+    fv9, ids, n_ty, n_tx = _bin_faces(
+        face_verts, ok, image_size, blur_radius, _TILE, max_faces_per_tile
+    )
+    n_tiles = n_ty * n_tx
+    MFT = fv9.shape[2]
+
+    kernel = functools.partial(
+        _fine_kernel,
+        n_tx=n_tx,
+        image_size=image_size,
+        blur_radius=float(blur_radius),
+        faces_per_pixel=K,
+        perspective_correct=perspective_correct,
+        clip_barycentric_coords=clip_barycentric_coords,
+        tile=_TILE,
+    )
+
+    idx_out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (None, 9, MFT), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (None, 1, MFT), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (K, _TILE, _TILE), lambda t: (0, t // n_tx, t % n_tx)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (K, n_ty * _TILE, n_tx * _TILE), jnp.int32
+        ),
+    )(fv9, ids)
+
+    return jnp.moveaxis(idx_out, 0, -1)[:H, :W]  # (H, W, K)
+
+
+# --------------------------------------------------------------------------- #
+# Backward: per-tile face-gradient reduction kernel
+# --------------------------------------------------------------------------- #
+
+
+def _grad_kernel(
+    fv_ref,  # (9, MFT) SMEM
+    ids_ref,  # (1, MFT) SMEM
+    idx_ref,  # (K, T, T) VMEM selected face ids
+    gz_ref,  # (K, T, T) VMEM zbuf cotangent
+    gb_ref,  # (3K, T, T) VMEM bary cotangent (k-major: slot k channels 3k..3k+2)
+    gd_ref,  # (K, T, T) VMEM dists cotangent
+    gout_ref,  # (9, MFT) SMEM per-slot face-vertex grads
+    *,
+    n_tx: int,
+    image_size: Tuple[int, int],
+    faces_per_pixel: int,
+    perspective_correct: bool,
+    clip_barycentric_coords: bool,
+    tile: int,
+):
+    """Gradient of (zbuf, bary, dists) wrt face verts, reduced per tile slot.
+
+    For each face slot j, accumulate the pixel cotangents of the K slots
+    that selected face j and differentiate the fragment math (identical to
+    rasterize_meshes._fragments_from_gathered) wrt the 9 coordinates with
+    in-kernel jax.grad — pure VPU reductions, no scatter.
+    """
+    H, W = image_size
+    K = faces_per_pixel
+    MFT = fv_ref.shape[1]
+    t = pl.program_id(0)
+    ty = t // n_tx
+    tx = t % n_tx
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0).astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1).astype(jnp.float32)
+    rows = ty.astype(jnp.float32) * tile + rr
+    cols = tx.astype(jnp.float32) * tile + cc
+    ns_y = 2.0 * max(H / W, 1.0)
+    ns_x = 2.0 * max(W / H, 1.0)
+    py = -(ns_y / 2.0) + (ns_y * (H - 1 - rows) + ns_y / 2.0) / H
+    px = -(ns_x / 2.0) + (ns_x * (W - 1 - cols) + ns_x / 2.0) / W
+
+    idx_all = [idx_ref[k] for k in range(K)]
+    gz_all = [gz_ref[k] for k in range(K)]
+    gb_all = [[gb_ref[3 * k + c] for c in range(3)] for k in range(K)]
+    gd_all = [gd_ref[k] for k in range(K)]
+
+    def body(j, _):
+        fid = ids_ref[0, j]
+
+        # combined cotangents for this face over the K slots
+        cgz = jnp.zeros((tile, tile), jnp.float32)
+        cgb = [jnp.zeros((tile, tile), jnp.float32) for _ in range(3)]
+        cgd = jnp.zeros((tile, tile), jnp.float32)
+        hit = (fid >= 0)
+        for k in range(K):
+            m = (idx_all[k] == fid) & hit
+            mf = m.astype(jnp.float32)
+            cgz = cgz + mf * gz_all[k]
+            for c in range(3):
+                cgb[c] = cgb[c] + mf * gb_all[k][c]
+            cgd = cgd + mf * gd_all[k]
+
+        def local_loss(v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z):
+            # identical math to _fragments_from_gathered
+            e0 = (px - v1x) * (v2y - v1y) - (py - v1y) * (v2x - v1x)
+            e1 = (px - v2x) * (v0y - v2y) - (py - v2y) * (v0x - v2x)
+            e2 = (px - v0x) * (v1y - v0y) - (py - v0y) * (v1x - v0x)
+            area = (v2x - v0x) * (v1y - v0y) - (v2y - v0y) * (v1x - v0x)
+            inv_area = 1.0 / (area + kEpsilon)
+            w0 = e0 * inv_area
+            w1 = e1 * inv_area
+            w2 = e2 * inv_area
+            inside = (w0 > 0.0) & (w1 > 0.0) & (w2 > 0.0)
+            if perspective_correct:
+                t0 = w0 * v1z * v2z
+                t1 = v0z * w1 * v2z
+                t2 = v0z * v1z * w2
+                denom = jnp.maximum(t0 + t1 + t2, kEpsilon)
+                b0, b1, b2 = t0 / denom, t1 / denom, t2 / denom
+            else:
+                b0, b1, b2 = w0, w1, w2
+            if clip_barycentric_coords:
+                c0 = jnp.maximum(b0, 0.0)
+                c1 = jnp.maximum(b1, 0.0)
+                c2 = jnp.maximum(b2, 0.0)
+                csum = jnp.maximum(c0 + c1 + c2, 1e-5)
+                b0, b1, b2 = c0 / csum, c1 / csum, c2 / csum
+            pz = b0 * v0z + b1 * v1z + b2 * v2z
+            d2 = _seg_dist2(px, py, v0x, v0y, v1x, v1y)
+            d2 = jnp.minimum(d2, _seg_dist2(px, py, v1x, v1y, v2x, v2y))
+            d2 = jnp.minimum(d2, _seg_dist2(px, py, v0x, v0y, v2x, v2y))
+            sdist = jnp.where(inside, -d2, d2)
+            return jnp.sum(
+                cgz * pz + cgb[0] * b0 + cgb[1] * b1 + cgb[2] * b2
+                + cgd * sdist
+            )
+
+        grads = jax.grad(local_loss, argnums=tuple(range(9)))(
+            fv_ref[0, j], fv_ref[1, j], fv_ref[2, j],
+            fv_ref[3, j], fv_ref[4, j], fv_ref[5, j],
+            fv_ref[6, j], fv_ref[7, j], fv_ref[8, j],
+        )
+        for r in range(9):
+            gout_ref[r, j] = grads[r]
+        return 0
+
+    jax.lax.fori_loop(0, MFT, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "image_size",
+        "faces_per_pixel",
+        "perspective_correct",
+        "clip_barycentric_coords",
+        "n_tx",
+        "F",
+    ),
+)
+def rasterize_grad_pallas(
+    fv9: jnp.ndarray,  # (n_tiles, 9, MFT) from _bin_faces
+    ids: jnp.ndarray,  # (n_tiles, 1, MFT)
+    pix_to_face: jnp.ndarray,  # (H, W, K) selected ids
+    gz: jnp.ndarray,  # (H, W, K)
+    gbary: jnp.ndarray,  # (H, W, K, 3)
+    gdists: jnp.ndarray,  # (H, W, K)
+    F: int,
+    image_size: Tuple[int, int],
+    faces_per_pixel: int,
+    perspective_correct: bool,
+    clip_barycentric_coords: bool,
+    n_tx: int,
+) -> jnp.ndarray:
+    """(F, 3, 3) gradient of the fragment outputs wrt face vertices."""
+    H, W = image_size
+    K = faces_per_pixel
+    n_tiles, _, MFT = fv9.shape
+    n_ty = n_tiles // n_tx
+    Hp, Wp = n_ty * _TILE, n_tx * _TILE
+
+    def pad_kmaj(x):  # (H, W, K?) -> (K?, Hp, Wp)
+        x = jnp.moveaxis(x, -1, 0)
+        return jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W)))
+
+    idx_k = pad_kmaj(pix_to_face)
+    gz_k = pad_kmaj(gz)
+    gd_k = pad_kmaj(gdists)
+    gb_k = jnp.moveaxis(gbary, (2, 3), (0, 1)).reshape(K * 3, H, W)
+    gb_k = jnp.pad(gb_k, ((0, 0), (0, Hp - H), (0, Wp - W)))
+
+    kernel = functools.partial(
+        _grad_kernel,
+        n_tx=n_tx,
+        image_size=image_size,
+        faces_per_pixel=K,
+        perspective_correct=perspective_correct,
+        clip_barycentric_coords=clip_barycentric_coords,
+        tile=_TILE,
+    )
+    gout = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((None, 9, MFT), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, MFT), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, _TILE, _TILE), lambda t: (0, t // n_tx, t % n_tx)),
+            pl.BlockSpec((K, _TILE, _TILE), lambda t: (0, t // n_tx, t % n_tx)),
+            pl.BlockSpec((3 * K, _TILE, _TILE),
+                         lambda t: (0, t // n_tx, t % n_tx)),
+            pl.BlockSpec((K, _TILE, _TILE), lambda t: (0, t // n_tx, t % n_tx)),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, 9, MFT), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 9, MFT), jnp.float32),
+    )(fv9, ids, idx_k, gz_k, gb_k, gd_k)
+
+    # small scatter: (n_tiles * MFT) slot grads -> (F, 9)
+    flat_ids = ids.reshape(-1)
+    flat_g = jnp.moveaxis(gout, 1, 2).reshape(-1, 9)
+    flat_g = jnp.where((flat_ids >= 0)[:, None], flat_g, 0.0)
+    grad = jax.ops.segment_sum(
+        flat_g, jnp.maximum(flat_ids, 0), num_segments=F
+    )
+    return grad.reshape(F, 3, 3)
+
+
+# --------------------------------------------------------------------------- #
+# Fused differentiable rasterization op (forward select + custom backward)
+# --------------------------------------------------------------------------- #
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def rasterize_fragments_pallas(
+    face_verts: jnp.ndarray,  # (F, 3, 3)
+    valid: jnp.ndarray,  # (F,)
+    image_size: Tuple[int, int],
+    blur_radius: float = 0.0,
+    faces_per_pixel: int = 1,
+    perspective_correct: bool = False,
+    clip_barycentric_coords: bool = False,
+    cull_backfaces: bool = False,
+    max_faces_per_tile: Optional[int] = None,
+):
+    """(pix_to_face, zbuf, bary, dists) with Pallas select + Pallas backward.
+
+    zbuf/bary/dists are differentiable wrt face_verts; pix_to_face is not
+    (reference rasterize_meshes.py:313 semantics).
+    """
+    out, _ = _rfp_fwd(
+        face_verts, valid, image_size, blur_radius, faces_per_pixel,
+        perspective_correct, clip_barycentric_coords, cull_backfaces,
+        max_faces_per_tile,
+    )
+    return out
+
+
+def _rfp_fwd(
+    face_verts, valid, image_size, blur_radius, faces_per_pixel,
+    perspective_correct, clip_barycentric_coords, cull_backfaces,
+    max_faces_per_tile,
+):
+    from .rasterize_meshes import _fragments_from_gathered
+
+    H, W = image_size
+    K = faces_per_pixel
+    F = face_verts.shape[0]
+
+    v0, v1, v2 = face_verts[:, 0], face_verts[:, 1], face_verts[:, 2]
+    area = (v2[:, 0] - v0[:, 0]) * (v1[:, 1] - v0[:, 1]) - (
+        v2[:, 1] - v0[:, 1]
+    ) * (v1[:, 0] - v0[:, 0])
+    zmax = jnp.maximum(jnp.maximum(v0[:, 2], v1[:, 2]), v2[:, 2])
+    ok = valid & (zmax >= 0) & ~((area <= kEpsilon) & (area >= -kEpsilon))
+    if cull_backfaces:
+        ok = ok & (area >= 0)
+
+    mft = max_faces_per_tile
+    if mft is None:
+        mft = int(min(F, max(1024, F // 4)))
+    mft = max(128, min(mft, F))
+    mft = -(-mft // 128) * 128
+
+    fv9, ids, n_ty, n_tx = _bin_faces(
+        jax.lax.stop_gradient(face_verts), ok, image_size, blur_radius,
+        _TILE, mft,
+    )
+    n_tiles = n_ty * n_tx
+    MFT = fv9.shape[2]
+
+    kernel = functools.partial(
+        _fine_kernel,
+        n_tx=n_tx,
+        image_size=image_size,
+        blur_radius=float(blur_radius),
+        faces_per_pixel=K,
+        perspective_correct=perspective_correct,
+        clip_barycentric_coords=clip_barycentric_coords,
+        tile=_TILE,
+    )
+    idx_out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((None, 9, MFT), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, MFT), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (K, _TILE, _TILE), lambda t: (0, t // n_tx, t % n_tx)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (K, n_ty * _TILE, n_tx * _TILE), jnp.int32
+        ),
+    )(fv9, ids)
+    pix_to_face = jnp.moveaxis(idx_out, 0, -1)[:H, :W]
+
+    fvg = face_verts[jnp.maximum(pix_to_face, 0)]
+    zbuf, bary, dists = _fragments_from_gathered(
+        fvg, pix_to_face, image_size, perspective_correct,
+        clip_barycentric_coords,
+    )
+    out = (pix_to_face, zbuf, bary, dists)
+    # F and n_tx are recovered statically in the bwd (from shapes / image
+    # size) — residuals must be arrays only.
+    res = (fv9, ids, pix_to_face, jnp.zeros((F, 0), jnp.float32))
+    return out, res
+
+
+def _rfp_bwd(
+    image_size, blur_radius, faces_per_pixel, perspective_correct,
+    clip_barycentric_coords, cull_backfaces, max_faces_per_tile, res, g,
+):
+    fv9, ids, pix_to_face, f_marker = res
+    F = f_marker.shape[0]
+    n_tx = -(-image_size[1] // _TILE)
+    _, gz, gbary, gdists = g
+    grad_fv = rasterize_grad_pallas(
+        fv9, ids, pix_to_face, gz, gbary, gdists, F, image_size,
+        faces_per_pixel, perspective_correct, clip_barycentric_coords, n_tx,
+    )
+    return grad_fv, None
+
+
+rasterize_fragments_pallas.defvjp(_rfp_fwd, _rfp_bwd)

@@ -1,0 +1,107 @@
+"""Renderer utility classes and functions.
+
+Parity: reference renderer/utils.py (`TensorProperties` :97,
+`ndc_grid_sample` :359, `ndc_to_grid_sample_coords` :413).
+
+Our camera/light/material classes are flax struct dataclasses (immutable
+pytrees) rather than the reference's mutable TensorProperties; the
+`TensorProperties` shim below provides the same broadcasting constructor
+for user code that subclasses it directly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.grid_sample import grid_sample
+
+
+class TensorProperties:
+    """Minimal batched-attribute base (reference renderer/utils.py:97).
+
+    Keyword tensor attributes are broadcast to a common batch dim N.
+    """
+
+    def __init__(self, dtype=jnp.float32, device=None, **kwargs) -> None:
+        self.device = device
+        args_to_broadcast = {
+            k: v for k, v in kwargs.items()
+            if v is not None and isinstance(v, (float, int, list, tuple, np.ndarray, jnp.ndarray))
+        }
+        names = list(args_to_broadcast.keys())
+        values = [
+            jnp.atleast_1d(jnp.asarray(v, dtype))
+            if not isinstance(v, jnp.ndarray)
+            else v
+            for v in args_to_broadcast.values()
+        ]
+        sizes = [v.shape[0] if v.ndim > 0 else 1 for v in values]
+        N = max(sizes) if sizes else 0
+        self._N = N
+        for k, v in zip(names, values):
+            if v.ndim == 0:
+                v = v[None]
+            if v.shape[0] == 1 and N > 1:
+                v = jnp.broadcast_to(v, (N,) + v.shape[1:])
+            elif v.shape[0] not in (N, 1):
+                raise ValueError(f"Tensor {k} has incompatible batch dim")
+            setattr(self, k, v)
+        for k, v in kwargs.items():
+            if k not in args_to_broadcast:
+                setattr(self, k, v)
+
+    def __len__(self) -> int:
+        return self._N
+
+    def isempty(self) -> bool:
+        return self._N == 0
+
+    def to(self, device=None):
+        return self
+
+    def clone(self, other=None):
+        import copy
+
+        return copy.deepcopy(self)
+
+    def gather_props(self, batch_idx):
+        for k, v in vars(self).items():
+            if isinstance(v, jnp.ndarray) and v.ndim > 0 and v.shape[0] == self._N:
+                setattr(self, k, v[batch_idx])
+        return self
+
+
+def ndc_to_grid_sample_coords(
+    xy_ndc: jnp.ndarray, image_size_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Convert +X-left/+Y-up NDC coords to grid_sample's +x-right/+y-down
+    [-1, 1] coords, accounting for non-square aspect (reference :413)."""
+    H, W = image_size_hw
+    aspect = min(H, W)
+    xy = -xy_ndc * jnp.asarray(
+        [aspect / W, aspect / H], xy_ndc.dtype
+    )
+    return xy
+
+
+def ndc_grid_sample(
+    input: jnp.ndarray,  # (N, C, H, W)
+    grid_ndc: jnp.ndarray,  # (N, ..., 2) NDC coords
+    mode: str = "bilinear",
+    align_corners: bool = False,
+    **kwargs,
+) -> jnp.ndarray:
+    """grid_sample at PyTorch3D-NDC locations (reference :359)."""
+    N, C, H, W = input.shape
+    spatial = grid_ndc.shape[1:-1]
+    grid = ndc_to_grid_sample_coords(
+        grid_ndc.reshape(N, -1, 2), (H, W)
+    )[:, None]  # (N, 1, P, 2)
+    out = grid_sample(
+        input, grid, mode=mode, align_corners=align_corners,
+        padding_mode=kwargs.get("padding_mode", "zeros"),
+    )  # (N, C, 1, P)
+    return out[:, :, 0].reshape((N, C) + spatial)
