@@ -1,0 +1,225 @@
+"""GenericModel: the pluggable neural-rendering pipeline.
+
+Parity: reference implicitron/models/generic_model.py:64 (pipeline doc
+:73-118): raysample -> [view pooling] -> implicit function(s) -> renderer
+-> metrics/losses.  Chunked full-grid eval (reference `_render` :597,
+`chunk_size_grid` :215) becomes a `lax.map` over static ray chunks — and,
+on multi-chip meshes, those chunks are instead *sharded* over the "rays"
+axis (pytorch3d_tpu/parallel).
+
+The model is a flax module; pluggable components come from the implicitron
+registry (`raysampler_class_type`, `renderer_class_type`,
+`implicit_function_class_type`) with `*_args` dicts, mirroring the
+reference's Configurable fields (generic_model.py:224-262).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..tools.config import registry
+from .implicit_function.base import ImplicitFunctionBase
+from .implicit_function.neural_radiance_field import (  # noqa: F401 (register)
+    NeRFormerImplicitFunction,
+    NeuralRadianceFieldImplicitFunction,
+)
+from .metrics import RegularizationMetrics, ViewMetrics
+from .renderer.base import BaseRenderer, EvaluationMode, ImplicitronRayBundle
+from .renderer.multipass_ea import (  # noqa: F401 (register)
+    MultiPassEmissionAbsorptionRenderer,
+)
+from .renderer.ray_sampler import (  # noqa: F401 (register)
+    AdaptiveRaySampler,
+    NearFarRaySampler,
+    RaySamplerBase,
+)
+
+
+def _default_loss_weights() -> Dict[str, float]:
+    return {"loss_rgb_mse": 1.0, "loss_prev_stage_rgb_mse": 1.0}
+
+
+class GenericModel(nn.Module):
+    """Pluggable raysampler -> implicit fn(s) -> renderer -> losses."""
+
+    render_image_width: int = 400
+    render_image_height: int = 400
+    num_passes: int = 2
+    chunk_size_grid: int = 4096
+    mask_threshold: float = 0.5
+
+    raysampler_class_type: str = "AdaptiveRaySampler"
+    raysampler_args: Optional[Dict[str, Any]] = None
+    renderer_class_type: str = "MultiPassEmissionAbsorptionRenderer"
+    renderer_args: Optional[Dict[str, Any]] = None
+    implicit_function_class_type: str = "NeuralRadianceFieldImplicitFunction"
+    implicit_function_args: Optional[Dict[str, Any]] = None
+    loss_weights: Optional[Dict[str, float]] = None
+
+    def setup(self):
+        rs_cls = registry.get(RaySamplerBase, self.raysampler_class_type)
+        rs_args = dict(self.raysampler_args or {})
+        rs_args.setdefault("image_width", self.render_image_width)
+        rs_args.setdefault("image_height", self.render_image_height)
+        self._raysampler = rs_cls(**rs_args)
+
+        rend_cls = registry.get(BaseRenderer, self.renderer_class_type)
+        self._renderer = rend_cls(**(self.renderer_args or {}))
+
+        fn_cls = registry.get(
+            ImplicitFunctionBase, self.implicit_function_class_type
+        )
+        self._implicit_functions = [
+            fn_cls(**(self.implicit_function_args or {}), name=f"implicit_function_{i}")
+            for i in range(self.num_passes)
+        ]
+        self._view_metrics = ViewMetrics()
+        self._reg_metrics = RegularizationMetrics()
+
+    def __call__(
+        self,
+        *,
+        image_rgb: Optional[jnp.ndarray] = None,  # (N, H, W, 3)
+        camera=None,
+        fg_probability: Optional[jnp.ndarray] = None,  # (N, H, W, 1)
+        depth_map: Optional[jnp.ndarray] = None,  # (N, H, W, 1)
+        evaluation_mode: EvaluationMode = EvaluationMode.TRAINING,
+        key: Optional[jax.Array] = None,
+        **kwargs,
+    ) -> Dict[str, Any]:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        k_rays, k_render = jax.random.split(key)
+
+        mask = (
+            fg_probability[..., 0]
+            if fg_probability is not None
+            else None
+        )
+        ray_bundle = self._raysampler(
+            camera, evaluation_mode, mask=mask, key=k_rays
+        )
+
+        implicit_functions = self._implicit_functions
+
+        if (
+            evaluation_mode == EvaluationMode.EVALUATION
+            and self.chunk_size_grid > 0
+        ):
+            rendered = self._render_chunked(
+                ray_bundle, implicit_functions, evaluation_mode, k_render
+            )
+        else:
+            rendered = self._renderer(
+                ray_bundle,
+                implicit_functions=implicit_functions,
+                evaluation_mode=evaluation_mode,
+                key=k_render,
+            )
+
+        preds: Dict[str, Any] = {
+            "images_render": rendered.features,
+            "depths_render": rendered.depths,
+            "masks_render": rendered.masks,
+            "implicitron_render": rendered,
+        }
+
+        # losses on this pass and recursively on prev stages
+        results: Dict[str, Any] = {}
+        self._view_metrics(
+            results,
+            rendered,
+            image_rgb=image_rgb,
+            depth_map=depth_map,
+            fg_probability=fg_probability,
+            xys=ray_bundle.xys,
+        )
+        stage = rendered.prev_stage
+        prefix = "loss_prev_stage_"
+        while stage is not None:
+            self._view_metrics(
+                results,
+                stage,
+                image_rgb=image_rgb,
+                depth_map=depth_map,
+                fg_probability=fg_probability,
+                xys=ray_bundle.xys,
+                keys_prefix=prefix,
+            )
+            stage = stage.prev_stage
+            prefix = "loss_prev_stage_" + prefix[len("loss_") :]
+        self._reg_metrics(results, model=self, raymarched=rendered)
+        preds.update(results)
+
+        # weighted objective
+        weights = self.loss_weights or _default_loss_weights()
+        objective = 0.0
+        used = False
+        for name, w in weights.items():
+            if name in results and w != 0.0:
+                objective = objective + w * results[name]
+                used = True
+        preds["objective"] = (
+            objective if used else jnp.asarray(0.0, jnp.float32)
+        )
+        return preds
+
+    # ------------------------------------------------------------------ #
+    def _render_chunked(
+        self, ray_bundle, implicit_functions, evaluation_mode, key
+    ):
+        """Full-grid rendering in ray chunks (reference _render :597)."""
+        B = ray_bundle.origins.shape[0]
+        spatial = ray_bundle.origins.shape[1:-1]
+        n_rays = 1
+        for s in spatial:
+            n_rays *= s
+        chunk = min(self.chunk_size_grid, n_rays)
+        n_chunks = -(-n_rays // chunk)
+        pad = n_chunks * chunk - n_rays
+
+        def flat(x, d):
+            x = x.reshape(B, n_rays, d)
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            return jnp.moveaxis(
+                x.reshape(B, n_chunks, chunk, d), 1, 0
+            )  # (n_chunks, B, chunk, d)
+
+        S = ray_bundle.lengths.shape[-1]
+        chunks = (
+            flat(ray_bundle.origins, 3),
+            flat(ray_bundle.directions, 3),
+            flat(ray_bundle.lengths, S),
+            flat(ray_bundle.xys, 2),
+        )
+
+        def render_one(args):
+            o, d, l, xy = args
+            rb = ImplicitronRayBundle(
+                origins=o, directions=d, lengths=l, xys=xy
+            )
+            out = self._renderer(
+                rb,
+                implicit_functions=implicit_functions,
+                evaluation_mode=evaluation_mode,
+                key=key,
+            )
+            return out.features, out.depths, out.masks
+
+        feats, depths, masks = jax.lax.map(render_one, chunks)
+
+        def unflat(x):
+            d = x.shape[-1]
+            x = jnp.moveaxis(x, 0, 1).reshape(B, n_chunks * chunk, d)
+            return x[:, :n_rays].reshape((B,) + spatial + (d,))
+
+        from .renderer.base import RendererOutput
+
+        return RendererOutput(
+            features=unflat(feats), depths=unflat(depths), masks=unflat(masks)
+        )

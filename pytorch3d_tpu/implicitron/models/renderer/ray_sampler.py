@@ -1,0 +1,142 @@
+"""Implicitron ray samplers.
+
+Parity: reference implicitron/models/renderer/ray_sampler.py
+(`RaySamplerBase` :23, `AbstractMaskRaySampler` :78, `AdaptiveRaySampler`
+:269, `NearFarRaySampler` :312).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ....renderer.implicit.raysampling import NDCMultinomialRaysampler
+from ...tools.config import ReplaceableBase, registry
+from .base import EvaluationMode, ImplicitronRayBundle, RenderSamplingMode
+
+
+class RaySamplerBase(ReplaceableBase):
+    def __call__(self, cameras, evaluation_mode, mask=None, key=None):
+        raise NotImplementedError
+
+
+@dataclasses.dataclass
+class AbstractMaskRaySampler(RaySamplerBase):
+    """Train: masked MC rays; eval: full grid (reference :78)."""
+
+    image_width: int = 400
+    image_height: int = 400
+    sampling_mode_training: str = "mask_sample"
+    sampling_mode_evaluation: str = "full_grid"
+    n_pts_per_ray_training: int = 64
+    n_pts_per_ray_evaluation: int = 64
+    n_rays_per_image_sampled_from_mask: int = 1024
+    n_rays_total_training: Optional[int] = None
+    stratified_point_sampling_training: bool = True
+    stratified_point_sampling_evaluation: bool = False
+    cast_ray_bundle_as_cone: bool = False
+
+    def __post_init__(self):
+        self._sampling_mode = {
+            EvaluationMode.TRAINING: RenderSamplingMode(
+                self.sampling_mode_training
+            ),
+            EvaluationMode.EVALUATION: RenderSamplingMode(
+                self.sampling_mode_evaluation
+            ),
+        }
+        self._training_raysampler = NDCMultinomialRaysampler(
+            image_width=self.image_width,
+            image_height=self.image_height,
+            n_pts_per_ray=self.n_pts_per_ray_training,
+            min_depth=0.0,
+            max_depth=0.0,
+            n_rays_per_image=self.n_rays_per_image_sampled_from_mask
+            if self._sampling_mode[EvaluationMode.TRAINING]
+            == RenderSamplingMode.MASK_SAMPLE
+            else None,
+            unit_directions=True,
+            stratified_sampling=self.stratified_point_sampling_training,
+        )
+        self._evaluation_raysampler = NDCMultinomialRaysampler(
+            image_width=self.image_width,
+            image_height=self.image_height,
+            n_pts_per_ray=self.n_pts_per_ray_evaluation,
+            min_depth=0.0,
+            max_depth=0.0,
+            n_rays_per_image=None,
+            unit_directions=True,
+            stratified_sampling=self.stratified_point_sampling_evaluation,
+        )
+
+    def _get_min_max_depth_bounds(self, cameras) -> Tuple[float, float]:
+        raise NotImplementedError
+
+    def __call__(
+        self,
+        cameras,
+        evaluation_mode: EvaluationMode = EvaluationMode.EVALUATION,
+        mask: Optional[jnp.ndarray] = None,
+        key: Optional[jax.Array] = None,
+    ) -> ImplicitronRayBundle:
+        sample_mask = None
+        if (
+            self._sampling_mode[evaluation_mode] == RenderSamplingMode.MASK_SAMPLE
+            and mask is not None
+        ):
+            sample_mask = mask
+        min_depth, max_depth = self._get_min_max_depth_bounds(cameras)
+        raysampler = {
+            EvaluationMode.TRAINING: self._training_raysampler,
+            EvaluationMode.EVALUATION: self._evaluation_raysampler,
+        }[evaluation_mode]
+        bundle = raysampler(
+            cameras,
+            mask=sample_mask,
+            min_depth=min_depth,
+            max_depth=max_depth,
+            key=key,
+        )
+        return ImplicitronRayBundle(
+            origins=bundle.origins,
+            directions=bundle.directions,
+            lengths=bundle.lengths,
+            xys=bundle.xys,
+        )
+
+
+@registry.register
+@dataclasses.dataclass
+class AdaptiveRaySampler(AbstractMaskRaySampler):
+    """Depth range scaled by scene extent around the origin (reference :269)."""
+
+    scene_extent: float = 8.0
+    scene_center: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    def __post_init__(self):
+        super().__post_init__()
+
+    def _get_min_max_depth_bounds(self, cameras) -> Tuple[float, float]:
+        center = jnp.asarray(self.scene_center)
+        cam_center = cameras.get_camera_center()
+        dist = jnp.linalg.norm(cam_center - center, axis=-1)
+        d = jnp.mean(dist)  # traced-safe (no float() under jit)
+        return jnp.maximum(d - self.scene_extent, 1e-3), d + self.scene_extent
+
+
+@registry.register
+@dataclasses.dataclass
+class NearFarRaySampler(AbstractMaskRaySampler):
+    """Fixed near/far bounds (reference :312)."""
+
+    min_depth: float = 0.1
+    max_depth: float = 8.0
+
+    def __post_init__(self):
+        super().__post_init__()
+
+    def _get_min_max_depth_bounds(self, cameras) -> Tuple[float, float]:
+        return self.min_depth, self.max_depth

@@ -126,11 +126,13 @@ def get_default_args(C, *, _do_not_process=()) -> Dict[str, Any]:
     (reference :501). Returns a plain nested dict."""
     if C is None:
         return {}
-    if _is_configurable_type(C):
+    if _is_configurable_type(C) or (
+        dataclasses.is_dataclass(C) and _is_flax_module(C)
+    ):
         expand_args_fields(C)
         out: Dict[str, Any] = {}
         for field in dataclasses.fields(C):
-            if not field.init:
+            if not field.init or field.name in ("parent", "name"):
                 continue
             if field.default is not dataclasses.MISSING:
                 out[field.name] = field.default
@@ -151,12 +153,27 @@ def enable_get_default_args(C, *, overwrite: bool = True) -> None:
     (reference :62 registers pickling helpers for omegaconf)."""
 
 
+def _is_flax_module(cls) -> bool:
+    try:
+        import flax.linen as nn
+
+        return isinstance(cls, type) and issubclass(cls, nn.Module)
+    except ImportError:
+        return False
+
+
 def expand_args_fields(some_class: type, *, _do_not_process=()) -> type:
     """Transform a Configurable subclass into a dataclass with the expanded
     `x_args` / `x_class_type` / `x_Impl_args` fields (reference :710).
 
-    Idempotent; mutates and returns the class.
+    Idempotent; mutates and returns the class.  flax.linen Modules (used for
+    parameterized implicit functions etc.) are already dataclasses managed
+    by flax — they are registered/instantiated as-is, never re-expanded.
     """
+    if _is_flax_module(some_class):
+        if "_processed_members" not in some_class.__dict__:
+            some_class._processed_members = {}
+        return some_class
     if "_processed_members" in some_class.__dict__:
         return some_class
 
@@ -234,6 +251,13 @@ def expand_args_fields(some_class: type, *, _do_not_process=()) -> type:
             setattr(some_class, k, v)
 
     some_class._processed_members = processed
+    # If the class was already a dataclass (manual decoration), drop the
+    # stale generated methods: dataclasses.dataclass will NOT overwrite an
+    # existing __init__ in the class __dict__.
+    if dataclasses.is_dataclass(some_class):
+        for attr in ("__init__", "__repr__"):
+            if attr in some_class.__dict__:
+                delattr(some_class, attr)
     dataclasses.dataclass(eq=False)(some_class)
     return some_class
 

@@ -1,0 +1,107 @@
+"""Checkpoint save/load.
+
+Parity: reference implicitron/tools/model_io.py (`safe_save_model` :56,
+`get_checkpoint` :130, `find_last_checkpoint` :135, purge :96).
+
+TPU-native: parameters / optimizer state are JAX pytrees checkpointed with
+orbax (sharded-array aware, the torch.save equivalent); stats go to JSON.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import shutil
+from typing import Any, Optional, Tuple
+
+import jax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def get_checkpoint(fl: str, epoch: int) -> str:
+    return fl + "_epoch%08d" % epoch
+
+
+def find_last_checkpoint(
+    exp_dir: str, any_path: bool = False, all_checkpoints: bool = False
+):
+    """Most recent model checkpoint in exp_dir (reference :135)."""
+    fls = sorted(
+        glob.glob(
+            os.path.join(glob.escape(exp_dir), "model_epoch_" + "[0-9]" * 8)
+        )
+    )
+    if len(fls) == 0:
+        return None
+    if all_checkpoints:
+        return fls
+    return fls[-1]
+
+
+def parse_epoch_from_model_path(model_path: str) -> int:
+    return int(re.findall(r"\d{8}", model_path)[-1])
+
+
+def safe_save_model(
+    params: Any,
+    opt_state: Any,
+    stats,
+    exp_dir: str,
+    epoch: int,
+) -> str:
+    """Atomically save (params, opt_state) + stats (reference :56)."""
+    os.makedirs(exp_dir, exist_ok=True)
+    path = os.path.join(exp_dir, "model_epoch_%08d" % epoch)
+    tmp = path + "_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    ckpt = _checkpointer()
+    ckpt.save(
+        os.path.abspath(tmp), {"params": params, "opt_state": opt_state}
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    if stats is not None:
+        stats.save(path + "_stats.json")
+    return path
+
+
+def load_model(path: str, like: Optional[Any] = None) -> Tuple[Any, Any, Optional[Any]]:
+    """Load (params, opt_state, stats) saved by safe_save_model.
+
+    `like`: optional {"params": ..., "opt_state": ...} template pytree —
+    required to restore custom container types (e.g. optax states), since
+    a bare restore yields nested dicts.
+    """
+    ckpt = _checkpointer()
+    if like is not None:
+        import jax
+
+        template = jax.tree_util.tree_map(lambda x: x, like)
+        data = ckpt.restore(os.path.abspath(path), item=template)
+    else:
+        data = ckpt.restore(os.path.abspath(path))
+    stats = None
+    stats_path = path + "_stats.json"
+    if os.path.isfile(stats_path):
+        from .stats import Stats
+
+        stats = Stats.load(stats_path)
+    return data["params"], data["opt_state"], stats
+
+
+def purge_epoch(exp_dir: str, epoch: int) -> None:
+    path = os.path.join(exp_dir, "model_epoch_%08d" % epoch)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    for suffix in ("_stats.json",):
+        f = path + suffix
+        if os.path.isfile(f):
+            os.remove(f)

@@ -1,0 +1,114 @@
+"""GenericModel + implicitron pipeline tests
+(reference tests/implicitron/test_forward_pass.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch3d_tpu.implicitron.dataset.rendered_mesh_dataset_map_provider import (
+    RenderedMeshDatasetMapProvider,
+)
+from pytorch3d_tpu.implicitron.models.generic_model import GenericModel
+from pytorch3d_tpu.implicitron.models.renderer.base import EvaluationMode
+from pytorch3d_tpu.renderer import FoVPerspectiveCameras, look_at_view_transform
+
+
+def _tiny_model(**kw):
+    args = dict(
+        render_image_width=16,
+        render_image_height=16,
+        num_passes=2,
+        chunk_size_grid=64,
+        raysampler_args=dict(
+            n_pts_per_ray_training=8,
+            n_pts_per_ray_evaluation=8,
+            n_rays_per_image_sampled_from_mask=32,
+            scene_extent=3.0,
+        ),
+        renderer_args=dict(
+            n_pts_per_ray_fine_training=8, n_pts_per_ray_fine_evaluation=8
+        ),
+        implicit_function_args=dict(
+            n_hidden_neurons_xyz=16,
+            n_hidden_neurons_dir=8,
+            n_layers_xyz=2,
+            append_xyz=(1,),
+        ),
+    )
+    args.update(kw)
+    return GenericModel(**args)
+
+
+def _inputs():
+    R, T = look_at_view_transform(dist=2.7, elev=10.0, azim=30.0)
+    cams = FoVPerspectiveCameras.create(R=R, T=T)
+    img = jnp.ones((1, 16, 16, 3)) * 0.7
+    fg = jnp.ones((1, 16, 16, 1))
+    return cams, img, fg
+
+
+class TestGenericModel:
+    def test_training_forward(self):
+        model = _tiny_model()
+        cams, img, fg = _inputs()
+        params = model.init(
+            jax.random.PRNGKey(0), image_rgb=img, camera=cams,
+            fg_probability=fg, evaluation_mode=EvaluationMode.TRAINING,
+        )
+        preds = model.apply(
+            params, image_rgb=img, camera=cams, fg_probability=fg,
+            evaluation_mode=EvaluationMode.TRAINING,
+        )
+        assert np.isfinite(float(preds["objective"]))
+        assert "loss_rgb_mse" in preds and "loss_prev_stage_rgb_mse" in preds
+        assert preds["images_render"].shape[-1] == 3
+
+    def test_eval_full_grid(self):
+        model = _tiny_model()
+        cams, img, fg = _inputs()
+        params = model.init(
+            jax.random.PRNGKey(0), image_rgb=img, camera=cams,
+            fg_probability=fg, evaluation_mode=EvaluationMode.TRAINING,
+        )
+        preds = model.apply(
+            params, image_rgb=img, camera=cams,
+            evaluation_mode=EvaluationMode.EVALUATION,
+        )
+        assert preds["images_render"].shape == (1, 16, 16, 3)
+        assert preds["depths_render"].shape == (1, 16, 16, 1)
+        assert preds["masks_render"].shape == (1, 16, 16, 1)
+
+    def test_raysampler_switch(self):
+        model = _tiny_model(
+            raysampler_class_type="NearFarRaySampler",
+            raysampler_args=dict(
+                n_pts_per_ray_training=8,
+                n_pts_per_ray_evaluation=8,
+                n_rays_per_image_sampled_from_mask=32,
+                min_depth=1.0,
+                max_depth=5.0,
+            ),
+        )
+        cams, img, fg = _inputs()
+        params = model.init(
+            jax.random.PRNGKey(0), image_rgb=img, camera=cams,
+            fg_probability=fg, evaluation_mode=EvaluationMode.TRAINING,
+        )
+        preds = model.apply(
+            params, image_rgb=img, camera=cams, fg_probability=fg,
+            evaluation_mode=EvaluationMode.TRAINING,
+        )
+        assert np.isfinite(float(preds["objective"]))
+
+
+class TestRenderedMeshProvider:
+    def test_dataset(self):
+        provider = RenderedMeshDatasetMapProvider(num_views=4, resolution=32)
+        dsmap = provider.get_dataset_map()
+        assert len(dsmap["train"]) >= 3
+        frame = dsmap["train"][0]
+        assert frame.image_rgb.shape == (1, 32, 32, 3)
+        assert frame.fg_probability.shape == (1, 32, 32, 1)
+        # foreground mask should cover the sphere but not everything
+        frac = float(frame.fg_probability.mean())
+        assert 0.05 < frac < 0.95
