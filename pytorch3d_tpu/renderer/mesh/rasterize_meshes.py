@@ -394,6 +394,19 @@ def rasterize_meshes(
     fv_batched = face_verts.reshape(N, F, 3, 3)
     mask_batched = face_mask.reshape(N, F)
 
+    # Near-plane clipping (reference clip.py cases 1-4): each face maps to
+    # two static sub-face slots; ids/barycentrics are converted back after
+    # rasterization.
+    clipped = None
+    if z_clip_value is not None:
+        from .clip import clip_faces
+
+        clipped = jax.vmap(
+            lambda fv1, m1: clip_faces(fv1, m1, z_clip_value)
+        )(fv_batched, mask_batched)
+        fv_batched = clipped.face_verts  # (N, 2F, 3, 3)
+        mask_batched = clipped.valid
+
     # Backend: fused Pallas select+grad op on TPU (bin_size=0 forces the
     # naive XLA scan, mirroring the reference's bin_size=0 escape hatch).
     use_pallas = jax.default_backend() == "tpu" and bin_size != 0
@@ -435,6 +448,13 @@ def rasterize_meshes(
             clip_barycentric_coords=clip_barycentric_coords,
         )
         zbuf, bary, dists = jax.vmap(interp)(fv_batched, pix_local)
+
+    if clipped is not None:
+        from .clip import convert_clipped_rasterization_to_original_faces
+
+        pix_local, bary = jax.vmap(
+            convert_clipped_rasterization_to_original_faces
+        )(pix_local, bary, clipped)
 
     # Convert to packed ids.
     offsets = (jnp.arange(N, dtype=jnp.int32) * F)[:, None, None, None]
