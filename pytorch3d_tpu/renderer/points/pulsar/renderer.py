@@ -1,0 +1,167 @@
+"""Pulsar-style differentiable sphere renderer, TPU-native.
+
+Parity target: reference renderer/points/pulsar/renderer.py:280 backed by
+csrc/pulsar/ (7,793 LoC of fused CUDA/CPU kernels).  API (camera parameter
+vector layout, gamma/min_depth/max_depth/bg_col semantics, per-sphere
+radii/colors/opacities) follows the reference; the implementation is the
+TPU architecture: sphere->pixel assignment reuses the tile/top-K selection
+machinery of our point rasterizer (ascending-z, K = n_track spheres
+tracked per pixel, the analog of pulsar's per-pixel gradient tracking
+n_track=5), and blending is the softmax aggregation of the pulsar paper
+(arXiv:2004.07484, Eq. 2):
+
+    w_i = o_i d_i exp(o_i z'_i / gamma) / (sum_j o_j d_j exp(o_j z'_j / gamma)
+          + exp(eps / gamma))
+
+with z'_i the normalized inverse depth in [0, 1] (closest = 1) and d_i the
+normalized in-circle closeness of the pixel ray to the sphere.  Everything
+is jnp -> differentiable end to end through XLA (no custom backward).
+
+Camera parameter vector (reference `cam_params`, 8 floats):
+    [px, py, pz, rx, ry, rz, focal_length, sensor_width]
+with (rx, ry, rz) an axis-angle rotation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ....transforms.rotation_conversions import axis_angle_to_matrix
+from ..rasterize_points import rasterize_points_topk_xla
+
+
+class Renderer:
+    """Pulsar renderer (reference pulsar/renderer.py:280)."""
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        max_num_balls: int,
+        orthogonal_projection: bool = False,
+        right_handed_system: bool = False,
+        n_channels: int = 3,
+        n_track: int = 5,
+    ) -> None:
+        self._width = width
+        self._height = height
+        self._max_num_balls = max_num_balls
+        self._orthogonal = orthogonal_projection
+        self._right_handed = right_handed_system
+        self._n_channels = n_channels
+        self._n_track = n_track
+
+    def _cam_to_view(self, vert_pos: jnp.ndarray, cam_params: jnp.ndarray):
+        pos = cam_params[0:3]
+        rot = axis_angle_to_matrix(cam_params[3:6])  # (3, 3) col-vector conv
+        rel = vert_pos - pos[None]
+        view = rel @ rot  # row-vector application of R^T ... see docstring
+        if self._right_handed:
+            view = view.at[:, 2].multiply(-1.0)
+        return view
+
+    def forward(
+        self,
+        vert_pos: jnp.ndarray,  # (P, 3)
+        vert_col: jnp.ndarray,  # (P, C)
+        vert_rad: jnp.ndarray,  # (P,)
+        cam_params: jnp.ndarray,  # (8,)
+        gamma: float,
+        max_depth: float,
+        min_depth: float = 0.0,
+        bg_col: Optional[jnp.ndarray] = None,
+        opacity: Optional[jnp.ndarray] = None,  # (P,)
+        percent_allowed_difference: float = 0.01,
+        max_n_hits: Optional[int] = None,
+        mode: int = 0,
+        return_forward_info: bool = False,
+    ):
+        """Render spheres to an (H, W, C) image (reference `_Render`)."""
+        H, W = self._height, self._width
+        C = self._n_channels
+        P = vert_pos.shape[0]
+        focal = cam_params[6]
+        sensor_width = cam_params[7]
+        if bg_col is None:
+            bg_col = jnp.zeros((C,), vert_col.dtype)
+        if opacity is None:
+            opacity = jnp.ones((P,), vert_pos.dtype)
+
+        view = self._cam_to_view(vert_pos, cam_params)
+        z = view[:, 2]
+        if self._orthogonal:
+            scale = 2.0 / sensor_width
+            x_ndc = view[:, 0] * scale
+            y_ndc = view[:, 1] * scale
+            r_ndc = vert_rad * scale
+        else:
+            # perspective: NDC x = f * X/Z / (sensor/2)
+            inv_z = 1.0 / jnp.clip(z, 1e-6)
+            scale = focal / (sensor_width / 2.0)
+            x_ndc = view[:, 0] * inv_z * scale
+            y_ndc = view[:, 1] * inv_z * scale
+            r_ndc = vert_rad * inv_z * scale
+
+        pts_ndc = jnp.stack([x_ndc, y_ndc, z], axis=-1)
+        valid = (z > min_depth) & (z < max_depth)
+
+        idx = rasterize_points_topk_xla(
+            pts_ndc, r_ndc, valid, (H, W), self._n_track
+        )  # (H, W, K)
+        sel = jnp.maximum(idx, 0)
+        hit = idx >= 0
+
+        # differentiable recompute at selected spheres
+        from ...mesh.rasterize_meshes import pixel_grid_ndc
+
+        yf, xf = pixel_grid_ndc(H, W, vert_pos.dtype)
+        pxy = jnp.stack(jnp.meshgrid(yf, xf, indexing="ij")[::-1], axis=-1)
+        cx = x_ndc[sel]
+        cy = y_ndc[sel]
+        cz = z[sel]
+        cr = jnp.clip(r_ndc[sel], 1e-8)
+        co = opacity[sel]
+        d2 = (pxy[..., None, 0] - cx) ** 2 + (pxy[..., None, 1] - cy) ** 2
+        closeness = jnp.clip(1.0 - d2 / (cr * cr), 0.0, 1.0)  # d_i
+
+        # normalized inverse depth in [0, 1]: 1 at min_depth, 0 at max_depth
+        z_norm = 1.0 - (cz - min_depth) / (max_depth - min_depth)
+        z_norm = jnp.clip(z_norm, 0.0, 1.0)
+
+        logit = jnp.where(hit, co * z_norm / gamma, -jnp.inf)
+        logit_max = jnp.maximum(
+            jnp.max(logit, axis=-1), 0.0
+        )  # include the background logit (z'_bg = 0) in the max shift
+        w_raw = co * closeness * jnp.exp(logit - logit_max[..., None])
+        w_raw = jnp.where(hit, w_raw, 0.0)
+        w_bg = jnp.exp(0.0 - logit_max)
+        denom = jnp.sum(w_raw, axis=-1) + w_bg
+
+        cols = vert_col[sel]  # (H, W, K, C)
+        image = (
+            jnp.sum(w_raw[..., None] * cols, axis=-2)
+            + w_bg[..., None] * bg_col
+        ) / denom[..., None]
+
+        if return_forward_info:
+            info = {
+                "closest_ids": idx,
+                "weights": w_raw / denom[..., None],
+                "depths": jnp.where(hit, cz, -1.0),
+            }
+            return image, info
+        return image
+
+    __call__ = forward
+
+    @staticmethod
+    def sphere_ids_from_result_info_nograd(info) -> jnp.ndarray:
+        """IDs of the spheres hit per pixel (reference ext.cpp:176)."""
+        return info["closest_ids"]
+
+    @staticmethod
+    def depth_map_from_result_info_nograd(info) -> jnp.ndarray:
+        return info["depths"][..., 0]
