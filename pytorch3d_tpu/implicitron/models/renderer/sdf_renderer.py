@@ -1,0 +1,80 @@
+"""SDF renderer: sphere tracing + surface shading (IDR).
+
+Parity: reference implicitron/models/renderer/sdf_renderer.py:27
+(`SignedDistanceFunctionRenderer`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...tools.config import registry
+from .base import BaseRenderer, EvaluationMode, ImplicitronRayBundle, RendererOutput
+from .ray_tracing import RayTracing
+
+
+@registry.register
+@dataclasses.dataclass
+class SignedDistanceFunctionRenderer(BaseRenderer):
+    render_features_dimensions: int = 3
+    object_bounding_sphere: float = 1.0
+    ray_tracer_args: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    bg_color: tuple = (0.0,)
+
+    def __post_init__(self):
+        args = dict(self.ray_tracer_args)
+        args.setdefault("object_bounding_sphere", self.object_bounding_sphere)
+        self._ray_tracer = RayTracing(**args)
+
+    def requires_object_mask(self) -> bool:
+        return True
+
+    def __call__(
+        self,
+        ray_bundle: ImplicitronRayBundle,
+        implicit_functions: List = (),
+        evaluation_mode: EvaluationMode = EvaluationMode.EVALUATION,
+        object_mask: Optional[jnp.ndarray] = None,
+        **kwargs,
+    ) -> RendererOutput:
+        if not implicit_functions:
+            raise ValueError("SDF renderer expects an implicit function")
+        fn = implicit_functions[0]
+
+        B = ray_bundle.origins.shape[0]
+        spatial = ray_bundle.origins.shape[1:-1]
+        R = 1
+        for s in spatial:
+            R *= s
+        origins = ray_bundle.origins.reshape(B, R, 3)
+        dirs = ray_bundle.directions.reshape(B, R, 3)
+        dirs = dirs / jnp.clip(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+        )
+        if object_mask is None:
+            object_mask = jnp.ones((B, R), bool)
+        else:
+            object_mask = object_mask.reshape(B, R) > 0.5
+
+        def sdf_only(p):
+            return fn(p)[..., 0]
+
+        points, net_mask, dists = self._ray_tracer(
+            sdf_only, origins, object_mask, dirs
+        )  # (B*R, ...)
+
+        out = fn(points)  # (B*R, 1 + C)
+        features = out[..., 1 : 1 + self.render_features_dimensions]
+        features = jnp.where(net_mask[:, None], features, 0.0)
+
+        mask = net_mask.astype(jnp.float32)[:, None]
+        depth = dists[:, None]
+        return RendererOutput(
+            features=features.reshape((B,) + spatial + (-1,)),
+            depths=depth.reshape((B,) + spatial + (1,)),
+            masks=mask.reshape((B,) + spatial + (1,)),
+        )

@@ -1,0 +1,108 @@
+"""Aggregate per-source-view sampled features.
+
+Parity: reference implicitron/models/view_pooler/feature_aggregator.py
+(`IdentityFeatureAggregator`, `ReductionFeatureAggregator`,
+`AngleWeightedReductionFeatureAggregator`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence
+
+import jax.numpy as jnp
+
+from ...tools.config import ReplaceableBase, registry
+
+
+class FeatureAggregatorBase(ReplaceableBase):
+    exclude_target_view: bool = True
+
+    def get_aggregated_feature_dim(self, feats, dim: int) -> int:
+        raise NotImplementedError
+
+
+def _masked_mean_std(x, mask, axis):
+    w = jnp.clip(jnp.sum(mask, axis=axis), 1e-4)
+    mean = jnp.sum(x * mask, axis=axis) / w
+    var = jnp.sum(((x - jnp.expand_dims(mean, axis)) ** 2) * mask, axis=axis) / w
+    return mean, jnp.sqrt(jnp.clip(var, 1e-8))
+
+
+@registry.register
+@dataclasses.dataclass
+class IdentityFeatureAggregator(FeatureAggregatorBase):
+    """Concatenate over views without reduction (reference)."""
+
+    def get_aggregated_feature_dim(self, feats_dim: int, n_views: int) -> int:
+        return feats_dim * n_views
+
+    def __call__(self, feats_sampled: Dict, masks_sampled, **kwargs):
+        out = {}
+        for name, f in feats_sampled.items():  # (V, P, C)
+            V, P, C = f.shape
+            out[name] = jnp.moveaxis(f * masks_sampled, 0, 1).reshape(
+                P, V * C
+            )[None]
+        return out
+
+
+@registry.register
+@dataclasses.dataclass
+class ReductionFeatureAggregator(FeatureAggregatorBase):
+    """Mean/std/max reduction over source views (reference)."""
+
+    reduction_functions: Sequence[str] = ("avg", "std")
+
+    def get_aggregated_feature_dim(self, feats_dim: int, n_views: int) -> int:
+        return feats_dim * len(self.reduction_functions)
+
+    def __call__(self, feats_sampled: Dict, masks_sampled, **kwargs):
+        out = {}
+        for name, f in feats_sampled.items():  # (V, P, C)
+            parts = []
+            mean, std = _masked_mean_std(f, masks_sampled, axis=0)
+            for red in self.reduction_functions:
+                if red == "avg":
+                    parts.append(mean)
+                elif red == "std":
+                    parts.append(std)
+                elif red == "max":
+                    parts.append(
+                        jnp.max(
+                            jnp.where(masks_sampled > 0, f, -jnp.inf), axis=0
+                        )
+                    )
+                else:
+                    raise ValueError(f"unknown reduction {red}")
+            out[name] = jnp.concatenate(parts, axis=-1)[None]  # (1, P, C*k)
+        return out
+
+
+@registry.register
+@dataclasses.dataclass
+class AngleWeightedReductionFeatureAggregator(ReductionFeatureAggregator):
+    """Reduction weighted by view-direction agreement (reference)."""
+
+    weight_by_ray_angle_gamma: float = 1.0
+    min_ray_angle_weight: float = 0.1
+
+    def __call__(
+        self, feats_sampled: Dict, masks_sampled, camera=None, pts=None,
+        **kwargs,
+    ):
+        if camera is not None and pts is not None:
+            centers = camera.get_camera_center()  # (V, 3)
+            p = pts.reshape(-1, 3)  # (P, 3)
+            view_dirs = p[None] - centers[:, None]  # (V, P, 3)
+            view_dirs = view_dirs / jnp.clip(
+                jnp.linalg.norm(view_dirs, axis=-1, keepdims=True), 1e-8
+            )
+            ref = view_dirs[:1]
+            cos = jnp.sum(view_dirs * ref, axis=-1)[..., None]
+            w = (
+                jnp.clip(0.5 * (cos + 1.0), self.min_ray_angle_weight)
+                ** self.weight_by_ray_angle_gamma
+            )
+            masks_sampled = masks_sampled * w
+        return super().__call__(feats_sampled, masks_sampled, **kwargs)
