@@ -1,0 +1,93 @@
+"""Batch samplers and data loaders.
+
+Parity: reference implicitron/dataset/data_loader_map_provider.py
+(`SequenceDataLoaderMapProvider` :253, `DoublePoolBatchSampler` :152) and
+scene_batch_sampler.py:22 (`SceneBatchSampler`).
+
+The torch DataLoader machinery becomes plain python iterators yielding
+collated FrameData batches (host-side; device transfer happens when arrays
+enter a jitted step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..tools.config import Configurable
+from .dataset_base import DatasetBase
+from .frame_data import FrameData
+
+
+@dataclasses.dataclass
+class SceneBatchSampler(Configurable):
+    """Sample batches of frames from the same sequence (reference :22)."""
+
+    batch_size: int = 3
+    num_batches: int = 100
+    images_per_seq_options: Sequence[int] = (2,)
+    sample_consecutive_frames: bool = False
+    consecutive_frames_max_gap: int = 0
+    seed: int = 0
+
+    def sample_batches(self, dataset: DatasetBase) -> List[List[int]]:
+        rng = np.random.RandomState(self.seed)
+        seq_names = dataset.sequence_names()
+        batches = []
+        for _ in range(self.num_batches):
+            seq = seq_names[rng.randint(len(seq_names))]
+            idxs = list(dataset.sequence_indices_in_order(seq))
+            n = min(self.batch_size, len(idxs))
+            if self.sample_consecutive_frames and len(idxs) > n:
+                start = rng.randint(len(idxs) - n + 1)
+                chosen = idxs[start : start + n]
+            else:
+                chosen = [idxs[i] for i in rng.choice(len(idxs), n, replace=False)]
+            batches.append(chosen)
+        return batches
+
+
+class _Loader:
+    def __init__(self, dataset: DatasetBase, batches: List[List[int]]):
+        self._dataset = dataset
+        self._batches = batches
+
+    def __len__(self) -> int:
+        return len(self._batches)
+
+    def __iter__(self) -> Iterator[FrameData]:
+        for batch in self._batches:
+            yield FrameData.collate([self._dataset[i] for i in batch])
+
+
+@dataclasses.dataclass
+class SequenceDataLoaderMapProvider(Configurable):
+    """Data loaders per split (reference :253)."""
+
+    batch_size: int = 1
+    num_workers: int = 0  # API parity; loading is synchronous host-side
+    dataset_length_train: int = 0
+    dataset_length_val: int = 0
+    train_num_batches: int = 100
+    images_per_seq_options: Sequence[int] = (2,)
+
+    def get_data_loader_map(self, datasets) -> dict:
+        out = {}
+        for split in ("train", "val", "test"):
+            ds = datasets[split] if not hasattr(datasets, split) else getattr(datasets, split)
+            if ds is None:
+                out[split] = None
+                continue
+            if split == "train":
+                sampler = SceneBatchSampler(
+                    batch_size=self.batch_size,
+                    num_batches=self.train_num_batches,
+                    images_per_seq_options=self.images_per_seq_options,
+                )
+                batches = sampler.sample_batches(ds)
+            else:
+                batches = [[i] for i in range(len(ds))]
+            out[split] = _Loader(ds, batches)
+        return out

@@ -1,0 +1,68 @@
+"""ImplicitronDataSource: datasets + dataloaders bundle.
+
+Parity: reference implicitron/dataset/data_source.py:44.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+from ..tools.config import Configurable, registry, run_auto_creation
+from .data_loader_map_provider import SequenceDataLoaderMapProvider
+from .dataset_base import DatasetMap, ListDataset
+
+
+@dataclasses.dataclass
+class ImplicitronDataSource(Configurable):
+    """Encapsulates dataset map + data loader construction (reference :44)."""
+
+    dataset_map_provider_class_type: str = "RenderedMeshDatasetMapProvider"
+    dataset_map_provider_args: Dict[str, Any] = dataclasses.field(
+        default_factory=dict
+    )
+    data_loader_map_provider_args: Dict[str, Any] = dataclasses.field(
+        default_factory=dict
+    )
+
+    def __post_init__(self):
+        if self.dataset_map_provider_class_type == "RenderedMeshDatasetMapProvider":
+            from .rendered_mesh_dataset_map_provider import (
+                RenderedMeshDatasetMapProvider,
+            )
+
+            self._provider = RenderedMeshDatasetMapProvider(
+                **self.dataset_map_provider_args
+            )
+        elif self.dataset_map_provider_class_type == "JsonIndexDatasetMapProvider":
+            from .json_index_dataset import JsonIndexDataset
+
+            splits = {}
+            for split in ("train", "val", "test"):
+                args = dict(self.dataset_map_provider_args)
+                splits[split] = JsonIndexDataset(**args)
+            self._provider = None
+            self._dataset_map = DatasetMap(**splits)
+        else:
+            raise ValueError(
+                f"Unknown provider {self.dataset_map_provider_class_type}"
+            )
+        self._loader_provider = SequenceDataLoaderMapProvider(
+            **self.data_loader_map_provider_args
+        )
+
+    def get_datasets_and_dataloaders(self) -> Tuple[DatasetMap, dict]:
+        if self._provider is not None:
+            dsmap_raw = self._provider.get_dataset_map()
+            dsmap = DatasetMap(
+                train=ListDataset(dsmap_raw["train"]),
+                val=ListDataset(dsmap_raw["val"]),
+                test=ListDataset(dsmap_raw["test"]),
+            )
+        else:
+            dsmap = self._dataset_map
+        loaders = self._loader_provider.get_data_loader_map(dsmap)
+        return dsmap, loaders
+
+    def all_train_cameras(self):
+        return None

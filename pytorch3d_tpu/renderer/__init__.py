@@ -63,6 +63,7 @@ from .mesh import (
     SoftGouraudShader,
     SoftPhongShader,
     SoftSilhouetteShader,
+    SplatterPhongShader,
     TexturesAtlas,
     TexturesUV,
     TexturesVertex,

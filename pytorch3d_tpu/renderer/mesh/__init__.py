@@ -11,6 +11,7 @@ from .shader import (
     SoftGouraudShader,
     SoftPhongShader,
     SoftSilhouetteShader,
+    SplatterPhongShader,
 )
 from .shading import flat_shading, gouraud_shading, phong_shading
 from .textures import TexturesAtlas, TexturesUV, TexturesVertex

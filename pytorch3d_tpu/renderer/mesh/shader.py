@@ -171,3 +171,36 @@ class SoftDepthShader(ShaderBase):
         bg = jnp.asarray(zfar, depth.dtype)
         return depth * alpha + bg * (1.0 - alpha)
 
+
+
+class SplatterPhongShader(ShaderBase):
+    """Phong shading + splatter blending (reference shader.py:309).
+
+    Designed to pair with a non-differentiable rasterization step: screen
+    positions are recomputed differentiably from barycentrics and splatted
+    (renderer/splatter_blend.py).
+    """
+
+    def forward(self, fragments, meshes, **kwargs) -> jnp.ndarray:
+        from ..splatter_blend import (
+            SplatterBlender,
+            pixel_coords_screen_from_fragments,
+        )
+
+        cameras = self._get_cameras(**kwargs)
+        texels = meshes.sample_textures(fragments)
+        lights = kwargs.get("lights", self.lights)
+        materials = kwargs.get("materials", self.materials)
+        blend_params = kwargs.get("blend_params", self.blend_params)
+        colors = phong_shading(
+            meshes=meshes, fragments=fragments, texels=texels,
+            lights=lights, cameras=cameras, materials=materials,
+        )
+        N, H, W, K = fragments.pix_to_face.shape
+        alpha = jnp.ones_like(colors[..., :1])
+        colors_a = jnp.concatenate([colors[..., :3], alpha], axis=-1)
+        pixel_coords = pixel_coords_screen_from_fragments(
+            fragments, meshes, (H, W)
+        )
+        blender = SplatterBlender()
+        return blender(colors_a, pixel_coords, fragments, blend_params)
