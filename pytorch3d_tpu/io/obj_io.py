@@ -106,17 +106,55 @@ def load_obj(
     Returns (verts (V, 3), faces namedtuple, aux namedtuple).
     """
     if hasattr(f, "read"):
-        lines = f.read()
-        if isinstance(lines, bytes):
-            lines = lines.decode("utf-8")
-        lines = lines.splitlines()
+        text = f.read()
+        if isinstance(text, bytes):
+            text = text.decode("utf-8")
         data_dir = "./"
         fname = None
     else:
         fname = str(f)
         data_dir = os.path.dirname(fname) or "./"
         with open(fname, "r") as fh:
-            lines = fh.read().splitlines()
+            text = fh.read()
+
+    # Fast path: the native C++ parser (csrc/fast_io.cpp) handles pure
+    # geometry files; materials fall through to the python scanner below.
+    if "mtllib" not in text:
+        from .fast_io import fast_parse_obj
+
+        parsed = fast_parse_obj(text.encode("utf-8"))
+        if parsed is not None:
+            faces = _Faces(
+                verts_idx=jnp.asarray(parsed["faces"]),
+                normals_idx=(
+                    jnp.asarray(parsed["faces_n"])
+                    if parsed["faces_n"] is not None
+                    else None
+                ),
+                textures_idx=(
+                    jnp.asarray(parsed["faces_uv"])
+                    if parsed["faces_uv"] is not None
+                    else None
+                ),
+                materials_idx=None,
+            )
+            aux = _Aux(
+                normals=(
+                    jnp.asarray(parsed["normals"])
+                    if parsed["normals"] is not None
+                    else None
+                ),
+                verts_uvs=(
+                    jnp.asarray(parsed["uvs"]) if parsed["uvs"] is not None else None
+                ),
+                material_colors=None,
+                texture_images=None,
+                texture_atlas=None,
+                texture_atlas_idx=None,
+            )
+            return jnp.asarray(parsed["verts"]), faces, aux
+
+    lines = text.splitlines()
 
     verts, normals, verts_uvs = [], [], []
     faces_verts_idx: List[Tuple[int, int, int]] = []
