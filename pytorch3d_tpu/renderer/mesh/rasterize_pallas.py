@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rasterize_meshes import kEpsilon, pix_to_non_square_ndc
 
-_TILE = 128
+_TILE_H = 32  # pixel-tile rows (4 VPU sublane groups)
+_TILE_W = 128  # pixel-tile cols (one full lane dim)
 
 
 def _bin_faces(
@@ -46,10 +47,11 @@ def _bin_faces(
     tile: int,
     max_faces_per_tile: int,
 ):
-    """Assign faces to tiles -> (n_tiles, 9, MFT) coord-major + ids."""
+    """Assign faces to tiles -> (n_tiles, 9, MFT) coord-major + ids + counts."""
     H, W = image_size
-    n_ty = -(-H // tile)
-    n_tx = -(-W // tile)
+    tile_h, tile_w = tile
+    n_ty = -(-H // tile_h)
+    n_tx = -(-W // tile_w)
     F = face_verts.shape[0]
     bl = float(blur_radius) ** 0.5 if blur_radius > 0 else 0.0
 
@@ -61,10 +63,10 @@ def _bin_faces(
     ymax = jnp.max(y, axis=1) + bl
 
     # tile NDC bounds; row 0 is +y (top), col 0 is +x (left)
-    rows0 = jnp.arange(n_ty) * tile
-    rows1 = jnp.minimum(rows0 + tile, H) - 1
-    cols0 = jnp.arange(n_tx) * tile
-    cols1 = jnp.minimum(cols0 + tile, W) - 1
+    rows0 = jnp.arange(n_ty) * tile_h
+    rows1 = jnp.minimum(rows0 + tile_h, H) - 1
+    cols0 = jnp.arange(n_tx) * tile_w
+    cols1 = jnp.minimum(cols0 + tile_w, W) - 1
     ty_max = pix_to_non_square_ndc(H - 1 - rows0, H, W)
     ty_min = pix_to_non_square_ndc(H - 1 - rows1, H, W)
     tx_max = pix_to_non_square_ndc(W - 1 - cols0, W, H)
@@ -93,9 +95,12 @@ def _bin_faces(
         face_verts.dtype,
     )
     gathered = jnp.where(filled[:, :, None, None], gathered, dead)
+    counts = jnp.sum(filled.astype(jnp.int32), axis=-1)  # (n_tiles,)
+    # counts padded to a (1, 128) SMEM tile per grid step
+    counts_smem = jnp.broadcast_to(counts[:, None, None], (counts.shape[0], 1, 128))
     # coordinate-major layout: (n_tiles, 9, MFT)
     fv9 = jnp.moveaxis(gathered.reshape(gathered.shape[0], -1, 9), 1, 2)
-    return fv9, ids[:, None, :], n_ty, n_tx
+    return fv9, ids[:, None, :], counts_smem, n_ty, n_tx
 
 
 def _seg_dist2(px, py, ax, ay, bx, by):
@@ -111,36 +116,43 @@ def _seg_dist2(px, py, ax, ay, bx, by):
 
 
 def _fine_kernel(
-    fv_ref,  # (9, MFT) coord-major tile faces in VMEM
+    fv_ref,  # (9, MFT) coord-major tile faces in SMEM
     ids_ref,  # (1, MFT)
-    idx_out,  # (K, T, T)
+    count_ref,  # (1,) SMEM number of live faces in this tile
+    idx_out,  # (K, TH, TW)
+    z_out,  # (K, T, T) or None
+    b0_out,  # (K, T, T)
+    b1_out,
+    b2_out,
+    d_out,
     *,
+    emit_fragments: bool,
     n_tx: int,
     image_size: Tuple[int, int],
     blur_radius: float,
     faces_per_pixel: int,
     perspective_correct: bool,
     clip_barycentric_coords: bool,
-    tile: int,
+    tile: Tuple[int, int],
 ):
     H, W = image_size
     K = faces_per_pixel
+    tile_h, tile_w = tile
     MFT = fv_ref.shape[1]
     t = pl.program_id(0)
     ty = t // n_tx
     tx = t % n_tx
 
-    rr = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0).astype(jnp.float32)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1).astype(jnp.float32)
-    rows = ty.astype(jnp.float32) * tile + rr
-    cols = tx.astype(jnp.float32) * tile + cc
+    rr = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    rows = ty.astype(jnp.float32) * tile_h + rr
+    cols = tx.astype(jnp.float32) * tile_w + cc
     ns_y = 2.0 * max(H / W, 1.0)
     ns_x = 2.0 * max(W / H, 1.0)
     py = -(ns_y / 2.0) + (ns_y * (H - 1 - rows) + ns_y / 2.0) / H
     px = -(ns_x / 2.0) + (ns_x * (W - 1 - cols) + ns_x / 2.0) / W
 
-    def body(j, carry):
-        best_z, best_idx = carry
+    def body(j, best):
         v0x = fv_ref[0, j]
         v0y = fv_ref[1, j]
         v0z = fv_ref[2, j]
@@ -192,24 +204,51 @@ def _fine_kernel(
 
         cz = jnp.where(covers, pz, jnp.inf)
         ci = jnp.where(covers, fid, -1)
+        if emit_fragments:
+            # signed squared distance needs d2 even when blur == 0
+            if blur_radius <= 0.0:
+                d2f = _seg_dist2(px, py, v0x, v0y, v1x, v1y)
+                d2f = jnp.minimum(d2f, _seg_dist2(px, py, v1x, v1y, v2x, v2y))
+                d2f = jnp.minimum(d2f, _seg_dist2(px, py, v0x, v0y, v2x, v2y))
+            else:
+                d2f = d2
+            sdist = jnp.where(inside, -d2f, d2f)
+            cand = (cz, ci, wz0, wz1, wz2, sdist)
+        else:
+            cand = (cz, ci)
 
-        new_z = []
-        new_i = []
+        cur = cand
+        new_slots = []
         for k in range(K):
-            take = cz < best_z[k]
-            nz = jnp.where(take, cz, best_z[k])
-            ni = jnp.where(take, ci, best_idx[k])
-            cz = jnp.where(take, best_z[k], cz)
-            ci = jnp.where(take, best_idx[k], ci)
-            new_z.append(nz)
-            new_i.append(ni)
-        return tuple(new_z), tuple(new_i)
+            take = cur[0] < best[k][0]
+            merged = tuple(
+                jnp.where(take, cur[j], best[k][j]) for j in range(len(cur))
+            )
+            cur = tuple(
+                jnp.where(take, best[k][j], cur[j]) for j in range(len(cur))
+            )
+            new_slots.append(merged)
+        return tuple(new_slots)
 
-    init_z = tuple(jnp.full((tile, tile), jnp.inf, jnp.float32) for _ in range(K))
-    init_i = tuple(jnp.full((tile, tile), -1, jnp.int32) for _ in range(K))
-    _, best_idx = jax.lax.fori_loop(0, MFT, body, (init_z, init_i))
+    zeros = jnp.zeros((tile_h, tile_w), jnp.float32)
+
+    def init_slot():
+        base = [jnp.full((tile_h, tile_w), jnp.inf, jnp.float32),
+                jnp.full((tile_h, tile_w), -1, jnp.int32)]
+        if emit_fragments:
+            base += [zeros, zeros, zeros, zeros]
+        return tuple(base)
+
+    init = tuple(init_slot() for _ in range(K))
+    best = jax.lax.fori_loop(0, count_ref[0, 0], body, init)
     for k in range(K):
-        idx_out[k] = best_idx[k]
+        idx_out[k] = best[k][1]
+        if emit_fragments:
+            z_out[k] = best[k][0]
+            b0_out[k] = best[k][2]
+            b1_out[k] = best[k][3]
+            b2_out[k] = best[k][4]
+            d_out[k] = best[k][5]
 
 
 @functools.partial(
@@ -257,22 +296,25 @@ def rasterize_topk_pallas(
     max_faces_per_tile = max(128, min(max_faces_per_tile, F))
     max_faces_per_tile = -(-max_faces_per_tile // 128) * 128
 
-    fv9, ids, n_ty, n_tx = _bin_faces(
-        face_verts, ok, image_size, blur_radius, _TILE, max_faces_per_tile
+    fv9, ids, counts, n_ty, n_tx = _bin_faces(
+        face_verts, ok, image_size, blur_radius, (_TILE_H, _TILE_W),
+        max_faces_per_tile,
     )
     n_tiles = n_ty * n_tx
     MFT = fv9.shape[2]
 
-    kernel = functools.partial(
-        _fine_kernel,
-        n_tx=n_tx,
-        image_size=image_size,
-        blur_radius=float(blur_radius),
-        faces_per_pixel=K,
-        perspective_correct=perspective_correct,
-        clip_barycentric_coords=clip_barycentric_coords,
-        tile=_TILE,
-    )
+    def kernel(fv_ref, ids_ref, count_ref, idx_out):
+        _fine_kernel(
+            fv_ref, ids_ref, count_ref, idx_out, None, None, None, None, None,
+            emit_fragments=False,
+            n_tx=n_tx,
+            image_size=image_size,
+            blur_radius=float(blur_radius),
+            faces_per_pixel=K,
+            perspective_correct=perspective_correct,
+            clip_barycentric_coords=clip_barycentric_coords,
+            tile=(_TILE_H, _TILE_W),
+        )
 
     idx_out = pl.pallas_call(
         kernel,
@@ -284,14 +326,17 @@ def rasterize_topk_pallas(
             pl.BlockSpec(
                 (None, 1, MFT), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
             ),
+            pl.BlockSpec(
+                (None, 1, 128), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (K, _TILE, _TILE), lambda t: (0, t // n_tx, t % n_tx)
+            (K, _TILE_H, _TILE_W), lambda t: (0, t // n_tx, t % n_tx)
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (K, n_ty * _TILE, n_tx * _TILE), jnp.int32
+            (K, n_ty * _TILE_H, n_tx * _TILE_W), jnp.int32
         ),
-    )(fv9, ids)
+    )(fv9, ids, counts)
 
     return jnp.moveaxis(idx_out, 0, -1)[:H, :W]  # (H, W, K)
 
@@ -304,10 +349,11 @@ def rasterize_topk_pallas(
 def _grad_kernel(
     fv_ref,  # (9, MFT) SMEM
     ids_ref,  # (1, MFT) SMEM
-    idx_ref,  # (K, T, T) VMEM selected face ids
-    gz_ref,  # (K, T, T) VMEM zbuf cotangent
-    gb_ref,  # (3K, T, T) VMEM bary cotangent (k-major: slot k channels 3k..3k+2)
-    gd_ref,  # (K, T, T) VMEM dists cotangent
+    count_ref,  # (1,) SMEM
+    idx_ref,  # (K, TH, TW) VMEM selected face ids
+    gz_ref,  # (K, TH, TW) VMEM zbuf cotangent
+    gb_ref,  # (3K, TH, TW) VMEM bary cotangent (k-major)
+    gd_ref,  # (K, TH, TW) VMEM dists cotangent
     gout_ref,  # (9, MFT) SMEM per-slot face-vertex grads
     *,
     n_tx: int,
@@ -315,7 +361,7 @@ def _grad_kernel(
     faces_per_pixel: int,
     perspective_correct: bool,
     clip_barycentric_coords: bool,
-    tile: int,
+    tile: Tuple[int, int],
 ):
     """Gradient of (zbuf, bary, dists) wrt face verts, reduced per tile slot.
 
@@ -326,15 +372,16 @@ def _grad_kernel(
     """
     H, W = image_size
     K = faces_per_pixel
+    tile_h, tile_w = tile
     MFT = fv_ref.shape[1]
     t = pl.program_id(0)
     ty = t // n_tx
     tx = t % n_tx
 
-    rr = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0).astype(jnp.float32)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1).astype(jnp.float32)
-    rows = ty.astype(jnp.float32) * tile + rr
-    cols = tx.astype(jnp.float32) * tile + cc
+    rr = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    rows = ty.astype(jnp.float32) * tile_h + rr
+    cols = tx.astype(jnp.float32) * tile_w + cc
     ns_y = 2.0 * max(H / W, 1.0)
     ns_x = 2.0 * max(W / H, 1.0)
     py = -(ns_y / 2.0) + (ns_y * (H - 1 - rows) + ns_y / 2.0) / H
@@ -349,9 +396,9 @@ def _grad_kernel(
         fid = ids_ref[0, j]
 
         # combined cotangents for this face over the K slots
-        cgz = jnp.zeros((tile, tile), jnp.float32)
-        cgb = [jnp.zeros((tile, tile), jnp.float32) for _ in range(3)]
-        cgd = jnp.zeros((tile, tile), jnp.float32)
+        cgz = jnp.zeros((tile_h, tile_w), jnp.float32)
+        cgb = [jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(3)]
+        cgd = jnp.zeros((tile_h, tile_w), jnp.float32)
         hit = (fid >= 0)
         for k in range(K):
             m = (idx_all[k] == fid) & hit
@@ -405,7 +452,14 @@ def _grad_kernel(
             gout_ref[r, j] = grads[r]
         return 0
 
-    jax.lax.fori_loop(0, MFT, body, 0)
+    # zero the dead slots' outputs, then process only live faces
+    def zero_body(j, _):
+        for r in range(9):
+            gout_ref[r, j] = 0.0
+        return 0
+
+    jax.lax.fori_loop(count_ref[0, 0], MFT, zero_body, 0)
+    jax.lax.fori_loop(0, count_ref[0, 0], body, 0)
 
 
 @functools.partial(
@@ -422,6 +476,7 @@ def _grad_kernel(
 def rasterize_grad_pallas(
     fv9: jnp.ndarray,  # (n_tiles, 9, MFT) from _bin_faces
     ids: jnp.ndarray,  # (n_tiles, 1, MFT)
+    counts: jnp.ndarray,  # (n_tiles, 1, 128)
     pix_to_face: jnp.ndarray,  # (H, W, K) selected ids
     gz: jnp.ndarray,  # (H, W, K)
     gbary: jnp.ndarray,  # (H, W, K, 3)
@@ -438,7 +493,7 @@ def rasterize_grad_pallas(
     K = faces_per_pixel
     n_tiles, _, MFT = fv9.shape
     n_ty = n_tiles // n_tx
-    Hp, Wp = n_ty * _TILE, n_tx * _TILE
+    Hp, Wp = n_ty * _TILE_H, n_tx * _TILE_W
 
     def pad_kmaj(x):  # (H, W, K?) -> (K?, Hp, Wp)
         x = jnp.moveaxis(x, -1, 0)
@@ -457,7 +512,10 @@ def rasterize_grad_pallas(
         faces_per_pixel=K,
         perspective_correct=perspective_correct,
         clip_barycentric_coords=clip_barycentric_coords,
-        tile=_TILE,
+        tile=(_TILE_H, _TILE_W),
+    )
+    tspec = lambda c: pl.BlockSpec(
+        (c, _TILE_H, _TILE_W), lambda t: (0, t // n_tx, t % n_tx)
     )
     gout = pl.pallas_call(
         kernel,
@@ -467,17 +525,18 @@ def rasterize_grad_pallas(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((None, 1, MFT), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((K, _TILE, _TILE), lambda t: (0, t // n_tx, t % n_tx)),
-            pl.BlockSpec((K, _TILE, _TILE), lambda t: (0, t // n_tx, t % n_tx)),
-            pl.BlockSpec((3 * K, _TILE, _TILE),
-                         lambda t: (0, t // n_tx, t % n_tx)),
-            pl.BlockSpec((K, _TILE, _TILE), lambda t: (0, t // n_tx, t % n_tx)),
+            pl.BlockSpec((None, 1, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            tspec(K),
+            tspec(K),
+            tspec(3 * K),
+            tspec(K),
         ],
         out_specs=pl.BlockSpec(
             (None, 9, MFT), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 9, MFT), jnp.float32),
-    )(fv9, ids, idx_k, gz_k, gb_k, gd_k)
+    )(fv9, ids, counts, idx_k, gz_k, gb_k, gd_k)
 
     # small scatter: (n_tiles * MFT) slot grads -> (F, 9)
     flat_ids = ids.reshape(-1)
@@ -524,8 +583,6 @@ def _rfp_fwd(
     perspective_correct, clip_barycentric_coords, cull_backfaces,
     max_faces_per_tile,
 ):
-    from .rasterize_meshes import _fragments_from_gathered
-
     H, W = image_size
     K = faces_per_pixel
     F = face_verts.shape[0]
@@ -545,24 +602,33 @@ def _rfp_fwd(
     mft = max(128, min(mft, F))
     mft = -(-mft // 128) * 128
 
-    fv9, ids, n_ty, n_tx = _bin_faces(
+    fv9, ids, counts, n_ty, n_tx = _bin_faces(
         jax.lax.stop_gradient(face_verts), ok, image_size, blur_radius,
-        _TILE, mft,
+        (_TILE_H, _TILE_W), mft,
     )
     n_tiles = n_ty * n_tx
     MFT = fv9.shape[2]
 
-    kernel = functools.partial(
-        _fine_kernel,
-        n_tx=n_tx,
-        image_size=image_size,
-        blur_radius=float(blur_radius),
-        faces_per_pixel=K,
-        perspective_correct=perspective_correct,
-        clip_barycentric_coords=clip_barycentric_coords,
-        tile=_TILE,
+    def kernel(fv_ref, ids_ref, count_ref, idx_o, z_o, b0_o, b1_o, b2_o, d_o):
+        _fine_kernel(
+            fv_ref, ids_ref, count_ref, idx_o, z_o, b0_o, b1_o, b2_o, d_o,
+            emit_fragments=True,
+            n_tx=n_tx,
+            image_size=image_size,
+            blur_radius=float(blur_radius),
+            faces_per_pixel=K,
+            perspective_correct=perspective_correct,
+            clip_barycentric_coords=clip_barycentric_coords,
+            tile=(_TILE_H, _TILE_W),
+        )
+
+    out_spec = pl.BlockSpec(
+        (K, _TILE_H, _TILE_W), lambda t: (0, t // n_tx, t % n_tx)
     )
-    idx_out = pl.pallas_call(
+    fshape = jax.ShapeDtypeStruct(
+        (K, n_ty * _TILE_H, n_tx * _TILE_W), jnp.float32
+    )
+    idx_out, z_o, b0_o, b1_o, b2_o, d_o = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -570,25 +636,33 @@ def _rfp_fwd(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((None, 1, MFT), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (K, _TILE, _TILE), lambda t: (0, t // n_tx, t % n_tx)
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (K, n_ty * _TILE, n_tx * _TILE), jnp.int32
-        ),
-    )(fv9, ids)
-    pix_to_face = jnp.moveaxis(idx_out, 0, -1)[:H, :W]
+        out_specs=[out_spec] * 6,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (K, n_ty * _TILE_H, n_tx * _TILE_W), jnp.int32
+            ),
+            fshape, fshape, fshape, fshape, fshape,
+        ],
+    )(fv9, ids, counts)
 
-    fvg = face_verts[jnp.maximum(pix_to_face, 0)]
-    zbuf, bary, dists = _fragments_from_gathered(
-        fvg, pix_to_face, image_size, perspective_correct,
-        clip_barycentric_coords,
+    def crop(x):
+        return jnp.moveaxis(x, 0, -1)[:H, :W]
+
+    pix_to_face = crop(idx_out)
+    empty = pix_to_face < 0
+    zbuf = jnp.where(empty, -1.0, crop(z_o))
+    bary = jnp.where(
+        empty[..., None], -1.0,
+        jnp.stack([crop(b0_o), crop(b1_o), crop(b2_o)], axis=-1),
     )
+    dists = jnp.where(empty, -1.0, crop(d_o))
     out = (pix_to_face, zbuf, bary, dists)
     # F and n_tx are recovered statically in the bwd (from shapes / image
     # size) — residuals must be arrays only.
-    res = (fv9, ids, pix_to_face, jnp.zeros((F, 0), jnp.float32))
+    res = (fv9, ids, counts, pix_to_face, jnp.zeros((F, 0), jnp.float32))
     return out, res
 
 
@@ -596,12 +670,12 @@ def _rfp_bwd(
     image_size, blur_radius, faces_per_pixel, perspective_correct,
     clip_barycentric_coords, cull_backfaces, max_faces_per_tile, res, g,
 ):
-    fv9, ids, pix_to_face, f_marker = res
+    fv9, ids, counts, pix_to_face, f_marker = res
     F = f_marker.shape[0]
-    n_tx = -(-image_size[1] // _TILE)
+    n_tx = -(-image_size[1] // _TILE_W)
     _, gz, gbary, gdists = g
     grad_fv = rasterize_grad_pallas(
-        fv9, ids, pix_to_face, gz, gbary, gdists, F, image_size,
+        fv9, ids, counts, pix_to_face, gz, gbary, gdists, F, image_size,
         faces_per_pixel, perspective_correct, clip_barycentric_coords, n_tx,
     )
     return grad_fv, None
