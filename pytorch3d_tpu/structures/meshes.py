@@ -419,6 +419,37 @@ class Meshes:
             raise ValueError("Meshes does not have textures")
         return self.textures.sample_textures(fragments, faces_packed=self.faces_packed())
 
+    def submeshes(self, face_indices) -> "Meshes":
+        """Extract sub-meshes given per-mesh lists of face-index arrays
+        (reference meshes.py:1563).  Host-side: output sizes are
+        data-dependent, so inputs must be concrete.
+
+        face_indices: list (len N) of lists of 1D face-index arrays (local
+        per-mesh face ids).  Returns one sub-mesh per inner array, in order.
+        """
+        import numpy as np
+
+        if len(face_indices) != len(self):
+            raise ValueError(
+                "You must specify exactly one set of submeshes for each mesh "
+                "in this Meshes object."
+            )
+        verts_padded = np.asarray(self.verts_padded())
+        faces_padded = np.asarray(self.faces_padded())
+        sub_verts, sub_faces = [], []
+        for i, per_mesh in enumerate(face_indices):
+            for idx in per_mesh:
+                idx = np.asarray(idx).reshape(-1)
+                faces = faces_padded[i][idx]  # (S, 3) local vert ids
+                uniq, inverse = np.unique(faces.reshape(-1), return_inverse=True)
+                sub_verts.append(
+                    jnp.asarray(verts_padded[i][uniq], jnp.float32)
+                )
+                sub_faces.append(
+                    jnp.asarray(inverse.reshape(-1, 3).astype(np.int32))
+                )
+        return Meshes.create(sub_verts, sub_faces)
+
 
 def join_meshes_as_batch(meshes: List[Meshes], include_textures: bool = True) -> Meshes:
     """Concatenate several Meshes batches into one (reference meshes.py:1672)."""
