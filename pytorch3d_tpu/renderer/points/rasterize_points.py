@@ -145,17 +145,28 @@ def rasterize_points(
     mask = pointclouds.points_padded_mask()  # (N, P)
     rad = _format_radius(radius, pointclouds).reshape(N, P)
 
-    def one(pts, r, m):
-        return rasterize_points_topk_xla(
-            pts, r, m, image_size, points_per_pixel
-        )
+    use_pallas = jax.default_backend() == "tpu" and bin_size != 0
+    if use_pallas:
+        from .rasterize_points_pallas import rasterize_points_fragments_pallas
 
-    idx_local = jax.vmap(one)(pts_padded, rad, mask)  # (N, H, W, K)
+        def one_fused(pts, r, m):
+            return rasterize_points_fragments_pallas(
+                pts, r, m, image_size, points_per_pixel, max_points_per_bin
+            )
 
-    def one_recompute(pts, ii):
-        return recompute_point_fragments(pts, ii, image_size)
+        idx_local, zbuf, dists = jax.vmap(one_fused)(pts_padded, rad, mask)
+    else:
+        def one(pts, r, m):
+            return rasterize_points_topk_xla(
+                pts, r, m, image_size, points_per_pixel
+            )
 
-    zbuf, dists = jax.vmap(one_recompute)(pts_padded, idx_local)
+        idx_local = jax.vmap(one)(pts_padded, rad, mask)  # (N, H, W, K)
+
+        def one_recompute(pts, ii):
+            return recompute_point_fragments(pts, ii, image_size)
+
+        zbuf, dists = jax.vmap(one_recompute)(pts_padded, idx_local)
     offset = (jnp.arange(N, dtype=jnp.int32) * P)[:, None, None, None]
     idx = jnp.where(idx_local >= 0, idx_local + offset, -1)
     return idx, zbuf, dists

@@ -1,0 +1,355 @@
+"""Pallas TPU kernels for point rasterization.
+
+Same architecture as the mesh path (renderer/mesh/rasterize_pallas.py),
+mirroring csrc/rasterize_points/ (naive :87, fine :223, backward :366):
+
+1. XLA binning: point bbox (center +- radius) vs (32, 128) pixel tiles,
+   first-come per-tile lists with live counts.
+2. Fine Pallas kernel: per-tile SMEM point lists (x, y, z, r rows), pixel-
+   parallel coverage + ascending-z K-slot insertion, emitting idx / zbuf /
+   dists directly.
+3. Backward Pallas kernel: per-tile reduction of (gz, gdists) cotangents
+   into per-point (x, y, z) gradients — no scatter (the reference's
+   RasterizePointsBackwardCudaKernel atomicAdd equivalent).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..mesh.rasterize_meshes import pix_to_non_square_ndc
+
+_TILE_H = 32
+_TILE_W = 128
+
+
+def _bin_points(
+    points: jnp.ndarray,  # (P, 3)
+    radius: jnp.ndarray,  # (P,)
+    valid: jnp.ndarray,  # (P,)
+    image_size: Tuple[int, int],
+    max_points_per_tile: int,
+):
+    H, W = image_size
+    n_ty = -(-H // _TILE_H)
+    n_tx = -(-W // _TILE_W)
+    P = points.shape[0]
+
+    x = points[:, 0]
+    y = points[:, 1]
+    xmin = x - radius
+    xmax = x + radius
+    ymin = y - radius
+    ymax = y + radius
+
+    rows0 = jnp.arange(n_ty) * _TILE_H
+    rows1 = jnp.minimum(rows0 + _TILE_H, H) - 1
+    cols0 = jnp.arange(n_tx) * _TILE_W
+    cols1 = jnp.minimum(cols0 + _TILE_W, W) - 1
+    ty_max = pix_to_non_square_ndc(H - 1 - rows0, H, W)
+    ty_min = pix_to_non_square_ndc(H - 1 - rows1, H, W)
+    tx_max = pix_to_non_square_ndc(W - 1 - cols0, W, H)
+    tx_min = pix_to_non_square_ndc(W - 1 - cols1, W, H)
+    half_px = float(max(2.0 * max(H / W, 1.0) / H, 2.0 * max(W / H, 1.0) / W))
+
+    oy = (ymin[None, :] <= ty_max[:, None] + half_px) & (
+        ymax[None, :] >= ty_min[:, None] - half_px
+    )
+    ox = (xmin[None, :] <= tx_max[:, None] + half_px) & (
+        xmax[None, :] >= tx_min[:, None] - half_px
+    )
+    ok = valid & (points[:, 2] >= 0)
+    overlap = oy[:, None, :] & ox[None, :, :] & ok[None, None, :]
+    overlap = overlap.reshape(n_ty * n_tx, P)
+
+    score = jnp.where(overlap, -jnp.arange(P, dtype=jnp.float32)[None], -jnp.inf)
+    top, _ = jax.lax.top_k(score, min(max_points_per_tile, P))
+    filled = jnp.isfinite(top)
+    ids = jnp.where(filled, (-top).astype(jnp.int32), -1)
+
+    g_pts = points[jnp.maximum(ids, 0)]  # (n_tiles, MPT, 3)
+    g_rad = radius[jnp.maximum(ids, 0)]
+    dead = jnp.asarray([2.0, 2.0, -1.0], points.dtype)
+    g_pts = jnp.where(filled[..., None], g_pts, dead)
+    g_rad = jnp.where(filled, g_rad, 0.0)
+    counts = jnp.sum(filled.astype(jnp.int32), axis=-1)
+    counts_smem = jnp.broadcast_to(
+        counts[:, None, None], (counts.shape[0], 1, 128)
+    )
+    # rows: x, y, z, r  -> (n_tiles, 4, MPT)
+    data = jnp.concatenate(
+        [jnp.moveaxis(g_pts, 1, 2), g_rad[:, None, :]], axis=1
+    )
+    return data, ids[:, None, :], counts_smem, n_ty, n_tx
+
+
+def _pixel_coords(tile_h, tile_w, ty, tx, H, W):
+    rr = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    rows = ty.astype(jnp.float32) * tile_h + rr
+    cols = tx.astype(jnp.float32) * tile_w + cc
+    ns_y = 2.0 * max(H / W, 1.0)
+    ns_x = 2.0 * max(W / H, 1.0)
+    py = -(ns_y / 2.0) + (ns_y * (H - 1 - rows) + ns_y / 2.0) / H
+    px = -(ns_x / 2.0) + (ns_x * (W - 1 - cols) + ns_x / 2.0) / W
+    return px, py
+
+
+def _fine_kernel(
+    data_ref,  # (4, MPT) SMEM: x, y, z, r
+    ids_ref,  # (1, MPT) SMEM
+    count_ref,  # (1, 128) SMEM
+    idx_out,  # (K, TH, TW)
+    z_out,
+    d_out,
+    *,
+    n_tx: int,
+    image_size: Tuple[int, int],
+    points_per_pixel: int,
+):
+    H, W = image_size
+    K = points_per_pixel
+    t = pl.program_id(0)
+    ty = t // n_tx
+    tx = t % n_tx
+    px, py = _pixel_coords(_TILE_H, _TILE_W, ty, tx, H, W)
+
+    def body(j, best):
+        cx = data_ref[0, j]
+        cy = data_ref[1, j]
+        cz = data_ref[2, j]
+        cr = data_ref[3, j]
+        pid = ids_ref[0, j]
+        d2 = (px - cx) ** 2 + (py - cy) ** 2
+        covers = (d2 < cr * cr) & (cz >= 0.0)
+        cand = (
+            jnp.where(covers, cz, jnp.inf),
+            jnp.where(covers, pid, -1),
+            jnp.where(covers, d2, 0.0),
+        )
+        cur = cand
+        out = []
+        for k in range(K):
+            take = cur[0] < best[k][0]
+            merged = tuple(
+                jnp.where(take, cur[c], best[k][c]) for c in range(3)
+            )
+            cur = tuple(
+                jnp.where(take, best[k][c], cur[c]) for c in range(3)
+            )
+            out.append(merged)
+        return tuple(out)
+
+    zeros = jnp.zeros((_TILE_H, _TILE_W), jnp.float32)
+    init = tuple(
+        (
+            jnp.full((_TILE_H, _TILE_W), jnp.inf, jnp.float32),
+            jnp.full((_TILE_H, _TILE_W), -1, jnp.int32),
+            zeros,
+        )
+        for _ in range(K)
+    )
+    best = jax.lax.fori_loop(0, count_ref[0, 0], body, init)
+    for k in range(K):
+        idx_out[k] = best[k][1]
+        z_out[k] = best[k][0]
+        d_out[k] = best[k][2]
+
+
+def _grad_kernel(
+    data_ref,  # (4, MPT) SMEM
+    ids_ref,  # (1, MPT) SMEM
+    count_ref,  # (1, 128) SMEM
+    idx_ref,  # (K, TH, TW)
+    gz_ref,  # (K, TH, TW)
+    gd_ref,  # (K, TH, TW)
+    gout_ref,  # (3, MPT) SMEM per-slot point grads
+    *,
+    n_tx: int,
+    image_size: Tuple[int, int],
+    points_per_pixel: int,
+):
+    H, W = image_size
+    K = points_per_pixel
+    MPT = data_ref.shape[1]
+    t = pl.program_id(0)
+    ty = t // n_tx
+    tx = t % n_tx
+    px, py = _pixel_coords(_TILE_H, _TILE_W, ty, tx, H, W)
+
+    idx_all = [idx_ref[k] for k in range(K)]
+    gz_all = [gz_ref[k] for k in range(K)]
+    gd_all = [gd_ref[k] for k in range(K)]
+
+    def body(j, _):
+        pid = ids_ref[0, j]
+        cgz = jnp.zeros((_TILE_H, _TILE_W), jnp.float32)
+        cgd = jnp.zeros((_TILE_H, _TILE_W), jnp.float32)
+        hit = pid >= 0
+        for k in range(K):
+            m = ((idx_all[k] == pid) & hit).astype(jnp.float32)
+            cgz = cgz + m * gz_all[k]
+            cgd = cgd + m * gd_all[k]
+
+        def local_loss(cx, cy, cz):
+            d2 = (px - cx) ** 2 + (py - cy) ** 2
+            return jnp.sum(cgz * cz + cgd * d2)
+
+        gx, gy, gz = jax.grad(local_loss, argnums=(0, 1, 2))(
+            data_ref[0, j], data_ref[1, j], data_ref[2, j]
+        )
+        gout_ref[0, j] = gx
+        gout_ref[1, j] = gy
+        gout_ref[2, j] = gz
+        return 0
+
+    def zero_body(j, _):
+        for r in range(3):
+            gout_ref[r, j] = 0.0
+        return 0
+
+    jax.lax.fori_loop(count_ref[0, 0], MPT, zero_body, 0)
+    jax.lax.fori_loop(0, count_ref[0, 0], body, 0)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5)
+)
+def rasterize_points_fragments_pallas(
+    points: jnp.ndarray,  # (P, 3) NDC xy + view z
+    radius: jnp.ndarray,  # (P,)
+    valid: jnp.ndarray,  # (P,)
+    image_size: Tuple[int, int],
+    points_per_pixel: int = 8,
+    max_points_per_tile: Optional[int] = None,
+):
+    """(idx, zbuf, dists2); zbuf/dists differentiable wrt points."""
+    out, _ = _rpf_fwd(
+        points, radius, valid, image_size, points_per_pixel,
+        max_points_per_tile,
+    )
+    return out
+
+
+def _rpf_fwd(points, radius, valid, image_size, points_per_pixel,
+             max_points_per_tile):
+    H, W = image_size
+    K = points_per_pixel
+    P = points.shape[0]
+    mpt = max_points_per_tile
+    if mpt is None:
+        mpt = int(min(P, max(1024, P // 4)))
+    # SMEM budget: 4 data rows + ids + 3 grad rows of MPT floats must fit
+    # scalar memory (~128KB usable) -> cap the per-tile list at 4096.
+    mpt = max(128, min(-(-mpt // 128) * 128, -(-P // 128) * 128, 4096))
+
+    data, ids, counts, n_ty, n_tx = _bin_points(
+        jax.lax.stop_gradient(points), radius, valid, image_size, mpt
+    )
+    n_tiles = n_ty * n_tx
+    MPT = data.shape[2]
+
+    kernel = functools.partial(
+        _fine_kernel,
+        n_tx=n_tx,
+        image_size=image_size,
+        points_per_pixel=K,
+    )
+    tspec = pl.BlockSpec(
+        (K, _TILE_H, _TILE_W), lambda t: (0, t // n_tx, t % n_tx)
+    )
+    fshape = jax.ShapeDtypeStruct(
+        (K, n_ty * _TILE_H, n_tx * _TILE_W), jnp.float32
+    )
+    idx_o, z_o, d_o = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((None, 4, MPT), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, MPT), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[tspec] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (K, n_ty * _TILE_H, n_tx * _TILE_W), jnp.int32
+            ),
+            fshape,
+            fshape,
+        ],
+    )(data, ids, counts)
+
+    def crop(x):
+        return jnp.moveaxis(x, 0, -1)[:H, :W]
+
+    idx = crop(idx_o)
+    empty = idx < 0
+    zbuf = jnp.where(empty, -1.0, crop(z_o))
+    dists = jnp.where(empty, -1.0, crop(d_o))
+    out = (idx, zbuf, dists)
+    res = (data, ids, counts, idx, jnp.zeros((P, 0), jnp.float32))
+    return out, res
+
+
+def _rpf_bwd(image_size, points_per_pixel, max_points_per_tile, res, g):
+    data, ids, counts, idx, p_marker = res
+    P = p_marker.shape[0]
+    _, gz, gd = g
+    K = points_per_pixel
+    n_tx = -(-image_size[1] // _TILE_W)
+    n_tiles, _, MPT = data.shape
+    n_ty = n_tiles // n_tx
+    Hp, Wp = n_ty * _TILE_H, n_tx * _TILE_W
+
+    def pad_kmaj(x):
+        x = jnp.moveaxis(x, -1, 0)
+        return jnp.pad(
+            x, ((0, 0), (0, Hp - image_size[0]), (0, Wp - image_size[1]))
+        )
+
+    kernel = functools.partial(
+        _grad_kernel,
+        n_tx=n_tx,
+        image_size=image_size,
+        points_per_pixel=K,
+    )
+    tspec = pl.BlockSpec(
+        (K, _TILE_H, _TILE_W), lambda t: (0, t // n_tx, t % n_tx)
+    )
+    gout = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((None, 4, MPT), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, MPT), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, 128), lambda t: (t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            tspec, tspec, tspec,
+        ],
+        out_specs=pl.BlockSpec(
+            (None, 3, MPT), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 3, MPT), jnp.float32),
+    )(data, ids, counts, pad_kmaj(idx), pad_kmaj(gz), pad_kmaj(gd))
+
+    flat_ids = ids.reshape(-1)
+    flat_g = jnp.moveaxis(gout, 1, 2).reshape(-1, 3)
+    flat_g = jnp.where((flat_ids >= 0)[:, None], flat_g, 0.0)
+    grad_points = jax.ops.segment_sum(
+        flat_g, jnp.maximum(flat_ids, 0), num_segments=P
+    )
+    return grad_points, None, None
+
+
+rasterize_points_fragments_pallas.defvjp(_rpf_fwd, _rpf_bwd)
