@@ -1,0 +1,108 @@
+"""Golden-image regression tests (reference strategy: committed PNGs in
+tests/data compared with assertClose, common_testing.py:62)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from pytorch3d_tpu.renderer import (
+    FoVPerspectiveCameras,
+    HardGouraudShader,
+    HardPhongShader,
+    MeshRasterizer,
+    MeshRenderer,
+    PointLights,
+    RasterizationSettings,
+    SoftPhongShader,
+    SoftSilhouetteShader,
+    look_at_view_transform,
+)
+from pytorch3d_tpu.renderer.mesh.textures import TexturesVertex
+from pytorch3d_tpu.utils import ico_sphere, torus
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+def load_rgb_image(name):
+    return (
+        np.asarray(Image.open(os.path.join(DATA_DIR, name)), np.float32) / 255.0
+    )
+
+
+def assert_image_close(img, name, atol=0.02, max_frac_bad=0.005):
+    golden = load_rgb_image(name)
+    got = np.asarray(img[0])
+    assert got.shape == golden.shape, (got.shape, golden.shape)
+    # allow a small fraction of pixels to deviate (edge antialiasing noise)
+    bad = (np.abs(got - golden) > atol).mean()
+    assert bad <= max_frac_bad, f"{name}: {bad:.4f} of pixels differ"
+
+
+def _scene():
+    R, T = look_at_view_transform(dist=2.7, elev=20.0, azim=30.0)
+    cams = FoVPerspectiveCameras.create(R=R, T=T)
+    mesh = ico_sphere(3)
+    mesh = mesh.replace(
+        textures=TexturesVertex.create(mesh.verts_padded() * 0.5 + 0.5)
+    )
+    lights = PointLights.create(location=[[0, 0, -3]])
+    return cams, mesh, lights
+
+
+class TestGoldenImages:
+    def test_hard_phong(self):
+        cams, mesh, lights = _scene()
+        renderer = MeshRenderer(
+            MeshRasterizer(cams, RasterizationSettings(image_size=128)),
+            HardPhongShader(cameras=cams, lights=lights),
+        )
+        assert_image_close(
+            renderer(mesh)[..., :3], "golden_sphere_hard_phong.png"
+        )
+
+    def test_soft_phong(self):
+        cams, mesh, lights = _scene()
+        renderer = MeshRenderer(
+            MeshRasterizer(
+                cams,
+                RasterizationSettings(
+                    image_size=128, blur_radius=1e-4, faces_per_pixel=4
+                ),
+            ),
+            SoftPhongShader(cameras=cams, lights=lights),
+        )
+        assert_image_close(
+            renderer(mesh)[..., :3], "golden_sphere_soft_phong.png"
+        )
+
+    def test_silhouette(self):
+        cams, mesh, _ = _scene()
+        renderer = MeshRenderer(
+            MeshRasterizer(
+                cams,
+                RasterizationSettings(
+                    image_size=128, blur_radius=2e-4, faces_per_pixel=8
+                ),
+            ),
+            SoftSilhouetteShader(),
+        )
+        img = renderer(mesh)[..., 3:4]
+        assert_image_close(
+            jnp.repeat(img, 3, axis=-1), "golden_sphere_silhouette.png"
+        )
+
+    def test_torus_gouraud(self):
+        cams, _, lights = _scene()
+        tor = torus(0.4, 1.2, 12, 24)
+        tor = tor.replace(
+            textures=TexturesVertex.create(
+                jnp.ones_like(tor.verts_padded()) * jnp.asarray([0.8, 0.6, 0.3])
+            )
+        )
+        renderer = MeshRenderer(
+            MeshRasterizer(cams, RasterizationSettings(image_size=128)),
+            HardGouraudShader(cameras=cams, lights=lights),
+        )
+        assert_image_close(renderer(tor)[..., :3], "golden_torus_gouraud.png")

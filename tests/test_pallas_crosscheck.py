@@ -1,0 +1,162 @@
+"""Pallas kernels vs XLA oracles in interpreter mode (CPU CI).
+
+Mirrors the reference's python-vs-cpu-vs-cuda strategy
+(tests/test_rasterize_meshes.py:72): the Pallas mesh/point rasterizer
+kernels are run interpreted on CPU and compared bit-for-bit against the
+XLA scan implementations used as the library's oracle path.
+"""
+
+import jax
+import jax.experimental.pallas as pl
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch3d_tpu.renderer.mesh.rasterize_pallas as rmp
+import pytorch3d_tpu.renderer.points.rasterize_points_pallas as rpp
+from pytorch3d_tpu.renderer import (
+    FoVPerspectiveCameras,
+    MeshRasterizer,
+    RasterizationSettings,
+    look_at_view_transform,
+)
+from pytorch3d_tpu.renderer.mesh.rasterize_meshes import (
+    interpolate_fragments,
+    rasterize_topk_xla,
+)
+from pytorch3d_tpu.renderer.points.rasterize_points import (
+    rasterize_points_topk_xla,
+    recompute_point_fragments,
+)
+from pytorch3d_tpu.utils import ico_sphere
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(rmp.pl, "pallas_call", patched)
+    monkeypatch.setattr(rpp.pl, "pallas_call", patched)
+    yield
+
+
+def _sphere_faces(level=2, image_size=128):
+    mesh = ico_sphere(level)
+    R, T = look_at_view_transform(dist=2.7, elev=15.0, azim=20.0)
+    cams = FoVPerspectiveCameras.create(R=R, T=T)
+    rast = MeshRasterizer(cams, RasterizationSettings(image_size=image_size))
+    mesh_ndc = rast.transform(mesh)
+    fv = mesh_ndc.verts_padded()[0][mesh_ndc.faces_padded()[0]]
+    return fv, jnp.ones((fv.shape[0],), bool)
+
+
+class TestMeshKernelVsXLA:
+    @pytest.mark.parametrize("blur,K", [(0.0, 1), (1e-4, 4)])
+    def test_selection_matches(self, blur, K):
+        fv, valid = _sphere_faces()
+        idx_p = rmp.rasterize_topk_pallas(fv, valid, (128, 128), blur, K)
+        idx_x = rasterize_topk_xla(fv, valid, (128, 128), blur, K)
+        assert float((idx_p == idx_x).mean()) == 1.0
+
+    def test_fragments_match(self):
+        fv, valid = _sphere_faces()
+        pix, zb, ba, di = rmp.rasterize_fragments_pallas(
+            fv, valid, (128, 128), 1e-4, 2
+        )
+        zb2, ba2, di2 = interpolate_fragments(fv, pix, (128, 128))
+        np.testing.assert_allclose(np.asarray(zb), np.asarray(zb2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ba), np.asarray(ba2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(di), np.asarray(di2), atol=1e-6)
+
+    def test_gradients_match(self):
+        fv, valid = _sphere_faces(level=1, image_size=64)
+
+        def loss_pallas(f):
+            pix, zb, ba, di = rmp.rasterize_fragments_pallas(
+                f, valid, (64, 64), 1e-4, 2
+            )
+            return (
+                jnp.sum(jax.nn.sigmoid(-di / 1e-4))
+                + jnp.sum(ba) * 0.1
+                + jnp.sum(zb) * 0.5
+            )
+
+        idx = rasterize_topk_xla(fv, valid, (64, 64), 1e-4, 2)
+
+        def loss_xla(f):
+            zb, ba, di = interpolate_fragments(f, idx, (64, 64))
+            return (
+                jnp.sum(jax.nn.sigmoid(-di / 1e-4))
+                + jnp.sum(ba) * 0.1
+                + jnp.sum(zb) * 0.5
+            )
+
+        g_p = jax.grad(loss_pallas)(fv)
+        g_x = jax.grad(loss_xla)(fv)
+        np.testing.assert_allclose(
+            np.asarray(g_p), np.asarray(g_x), rtol=1e-3, atol=1e-4
+        )
+
+
+class TestPointKernelVsXLA:
+    def test_selection_and_fragments_match(self):
+        rng = np.random.RandomState(0)
+        P = 500
+        pts = jnp.asarray(
+            np.concatenate(
+                [rng.uniform(-0.8, 0.8, (P, 2)), rng.uniform(1, 3, (P, 1))],
+                axis=1,
+            ),
+            jnp.float32,
+        )
+        rad = jnp.full((P,), 0.05)
+        valid = jnp.ones((P,), bool)
+        idx_p, zb_p, d_p = rpp.rasterize_points_fragments_pallas(
+            pts, rad, valid, (64, 64), 4
+        )
+        idx_x = rasterize_points_topk_xla(pts, rad, valid, (64, 64), 4)
+        assert float((idx_p == idx_x).mean()) == 1.0
+        zb_x, d_x = recompute_point_fragments(pts, idx_x, (64, 64))
+        np.testing.assert_allclose(np.asarray(zb_p), np.asarray(zb_x), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-7)
+
+    def test_gradients_match(self):
+        rng = np.random.RandomState(1)
+        P = 200
+        pts = jnp.asarray(
+            np.concatenate(
+                [rng.uniform(-0.5, 0.5, (P, 2)), rng.uniform(1, 2, (P, 1))],
+                axis=1,
+            ),
+            jnp.float32,
+        )
+        rad = jnp.full((P,), 0.08)
+        valid = jnp.ones((P,), bool)
+
+        def loss_pallas(p):
+            idx, zb, dd = rpp.rasterize_points_fragments_pallas(
+                p, rad, valid, (32, 32), 4
+            )
+            m = idx >= 0
+            return jnp.sum(jnp.where(m, zb, 0.0)) + jnp.sum(
+                jnp.where(m, dd, 0.0)
+            )
+
+        idx = rasterize_points_topk_xla(pts, rad, valid, (32, 32), 4)
+
+        def loss_xla(p):
+            zb, dd = recompute_point_fragments(p, idx, (32, 32))
+            m = idx >= 0
+            return jnp.sum(jnp.where(m, zb, 0.0)) + jnp.sum(
+                jnp.where(m, dd, 0.0)
+            )
+
+        g_p = jax.grad(loss_pallas)(pts)
+        g_x = jax.grad(loss_xla)(pts)
+        np.testing.assert_allclose(
+            np.asarray(g_p), np.asarray(g_x), rtol=1e-4, atol=1e-6
+        )
