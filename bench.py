@@ -69,13 +69,16 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / n_iters
 
     mpix_s = image_size * image_size / dt / 1e6
+    # Baseline: the naive XLA all-faces-x-all-pixels scan measured on the
+    # same chip at round-1 start (0.12 Mpix/s) — the pre-kernel design.
+    naive_xla_baseline = 0.12
     print(
         json.dumps(
             {
                 "metric": f"soft_rasterize_{image_size}px_ico4_K{K}_fwd_bwd",
                 "value": round(mpix_s, 3),
                 "unit": "Mpix/s",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(mpix_s / naive_xla_baseline, 1),
             }
         )
     )

@@ -253,7 +253,42 @@ class Experiment(Configurable):
         )
 
 
+def _deep_update(base, override):
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _deep_update(base[k], v)
+        else:
+            base[k] = v
+
+
+def load_config(path: str):
+    """Load a YAML experiment config on top of the defaults (the Hydra
+    entry of the reference, experiment.py:281)."""
+    import yaml
+
+    with open(path) as f:
+        override = yaml.safe_load(f) or {}
+    cfg = get_default_args(Experiment)
+    # convert lists to tuples where dataclass defaults expect tuples
+    def tuplify(d):
+        for k, v in d.items():
+            if isinstance(v, list):
+                d[k] = tuple(v)
+            elif isinstance(v, dict):
+                tuplify(v)
+    tuplify(override)
+    _deep_update(cfg, override)
+    return cfg
+
+
 def main():
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1].endswith((".yaml", ".yml")):
+        cfg = load_config(sys.argv[1])
+        experiment = Experiment(**cfg)
+        experiment.run()
+        return
     cfg = get_default_args(Experiment)
     cfg["exp_dir"] = os.environ.get("EXP_DIR", "/tmp/implicitron_exp")
     cfg["model_args"] = dict(

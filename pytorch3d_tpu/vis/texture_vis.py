@@ -22,8 +22,14 @@ def texturesuv_image_matplotlib(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    texture_image = np.asarray(texture.maps_padded()[texture_index])
-    verts_uvs = np.asarray(texture.verts_uvs_padded()[texture_index])
+    maps = texture.maps_padded
+    uvs = texture.verts_uvs_padded
+    # our TexturesUV stores these as pytree fields; the reference exposes
+    # methods — accept both
+    maps = maps() if callable(maps) else maps
+    uvs = uvs() if callable(uvs) else uvs
+    texture_image = np.asarray(maps[texture_index])
+    verts_uvs = np.asarray(uvs[texture_index])
     if subsample is not None and verts_uvs.shape[0] > subsample:
         idx = np.random.choice(verts_uvs.shape[0], subsample, replace=False)
         verts_uvs = verts_uvs[idx]
