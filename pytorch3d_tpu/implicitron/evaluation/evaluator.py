@@ -1,0 +1,53 @@
+"""Implicitron evaluator: run eval over a test loader, aggregate, dump JSON.
+
+Parity: reference implicitron/evaluation/evaluator.py:48
+(`ImplicitronEvaluator`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+
+from ..models.renderer.base import EvaluationMode
+from ..tools.config import Configurable
+from .evaluate_new_view_synthesis import aggregate_nvs_results, eval_batch
+
+
+@dataclasses.dataclass
+class ImplicitronEvaluator(Configurable):
+    """Evaluate new-view synthesis over a test data loader (reference :48)."""
+
+    camera_difficulty_bin_breaks: tuple = (0.97, 0.98)
+
+    def run(
+        self,
+        model,
+        params,
+        dataloader,
+        exp_dir: Optional[str] = None,
+        dump_to_json: bool = False,
+        epoch: Optional[int] = None,
+        **kwargs,
+    ) -> List[Dict[str, Any]]:
+        """Returns per-batch eval results; optionally dumps aggregate JSON."""
+        per_batch = []
+        for frame_data in dataloader:
+            preds = model.apply(
+                params,
+                image_rgb=frame_data.image_rgb,
+                camera=frame_data.camera,
+                fg_probability=frame_data.fg_probability,
+                evaluation_mode=EvaluationMode.EVALUATION,
+            )
+            per_batch.append(eval_batch(frame_data, preds))
+        agg = aggregate_nvs_results(per_batch)
+        if dump_to_json and exp_dir:
+            path = os.path.join(exp_dir, "results_test.json")
+            with open(path, "w") as f:
+                json.dump({"results": per_batch, "aggregate": agg}, f, indent=1)
+        return per_batch

@@ -56,6 +56,7 @@ from .mesh import (
     HardGouraudShader,
     HardPhongShader,
     MeshRasterizer,
+    MeshRasterizerOpenGL,
     MeshRenderer,
     MeshRendererWithFragments,
     RasterizationSettings,

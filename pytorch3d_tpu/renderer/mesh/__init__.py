@@ -1,5 +1,10 @@
 from .rasterize_meshes import rasterize_meshes
-from .rasterizer import Fragments, MeshRasterizer, RasterizationSettings
+from .rasterizer import (
+    Fragments,
+    MeshRasterizer,
+    MeshRasterizerOpenGL,
+    RasterizationSettings,
+)
 from .renderer import MeshRenderer, MeshRendererWithFragments
 from .shader import (
     HardDepthShader,

@@ -107,3 +107,22 @@ class MeshRasterizer:
         return Fragments(
             pix_to_face=pix_to_face, zbuf=zbuf, bary_coords=bary, dists=dists
         )
+
+
+class MeshRasterizerOpenGL(MeshRasterizer):
+    """API-parity alias for the reference's EGL/OpenGL rasterizer
+    (renderer/mesh/opengl/rasterizer_opengl.py:120).
+
+    The reference uses OpenGL as a *faster, non-differentiable* raster
+    backend paired with SplatterPhongShader for gradients.  On TPU there is
+    no GL; the Pallas tile kernel fills the same role (fast selection, with
+    analytic gradients besides) — so this class IS the standard rasterizer,
+    restricted to the faces_per_pixel=1 semantics of the GL path.
+    """
+
+    def forward(self, meshes_world, **kwargs) -> Fragments:
+        rs = kwargs.get("raster_settings", self.raster_settings)
+        if rs.faces_per_pixel != 1:
+            rs = rs._replace(faces_per_pixel=1)
+            kwargs["raster_settings"] = rs
+        return super().forward(meshes_world, **kwargs)
