@@ -294,7 +294,8 @@ def rasterize_topk_pallas(
     if max_faces_per_tile is None:
         max_faces_per_tile = int(min(F, max(1024, F // 4)))
     max_faces_per_tile = max(128, min(max_faces_per_tile, F))
-    max_faces_per_tile = -(-max_faces_per_tile // 128) * 128
+    # SMEM budget cap (9 data rows + ids fit scalar memory at <= 4096)
+    max_faces_per_tile = min(-(-max_faces_per_tile // 128) * 128, 4096)
 
     fv9, ids, counts, n_ty, n_tx = _bin_faces(
         face_verts, ok, image_size, blur_radius, (_TILE_H, _TILE_W),
@@ -600,7 +601,10 @@ def _rfp_fwd(
     if mft is None:
         mft = int(min(F, max(1024, F // 4)))
     mft = max(128, min(mft, F))
-    mft = -(-mft // 128) * 128
+    # SMEM budget cap: the grad kernel holds 9 data + 1 id + 9 grad rows of
+    # MFT scalars in SMEM, so the fused (differentiable) path caps at 2048
+    # (the select-only path above can afford 4096).
+    mft = min(-(-mft // 128) * 128, 2048)
 
     fv9, ids, counts, n_ty, n_tx = _bin_faces(
         jax.lax.stop_gradient(face_verts), ok, image_size, blur_radius,
