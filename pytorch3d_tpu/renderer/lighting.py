@@ -17,7 +17,11 @@ def _normalize(v: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
 
 
 def _expand_to(x: jnp.ndarray, target_ndim: int) -> jnp.ndarray:
-    """Insert singleton spatial dims: (N, C) -> (N, 1, ..., 1, C)."""
+    """Insert singleton spatial dims: (N, C) -> (N, 1, ..., 1, C).
+
+    1D inputs (C,) first gain a leading batch dim."""
+    if x.ndim == 1:
+        x = x[None]
     while x.ndim < target_ndim:
         x = x[:, None]
     return x

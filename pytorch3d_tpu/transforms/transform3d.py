@@ -40,9 +40,16 @@ def _broadcast_bmm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 @struct.dataclass
 class Transform3d:
-    """A batch of N 4x4 transform matrices (row-vector convention)."""
+    """A batch of N 4x4 transform matrices (row-vector convention).
 
-    matrix: jnp.ndarray  # (N, 4, 4)
+    `Transform3d()` (no args) is the identity, like the reference.
+    """
+
+    matrix: jnp.ndarray = None  # (N, 4, 4)
+
+    def __post_init__(self):
+        if self.matrix is None:
+            object.__setattr__(self, "matrix", jnp.eye(4, dtype=jnp.float32)[None])
 
     @classmethod
     def create(
