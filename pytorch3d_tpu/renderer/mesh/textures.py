@@ -167,6 +167,33 @@ class TexturesUV:
             verts_uvs_padded=self.verts_uvs_padded[index],
         )
 
+    def join_scene(self) -> "TexturesUV":
+        """Merge the batch into one texture: maps packed horizontally, UVs
+        offset into the packed atlas (reference textures.py join_scene)."""
+        import jax.numpy as jnp
+
+        N, Hm, Wm, C = self.maps_padded.shape
+        packed = jnp.concatenate(
+            [self.maps_padded[i] for i in range(N)], axis=1
+        )[None]  # (1, Hm, N*Wm, C)
+        new_uvs = []
+        for i in range(N):
+            uv = self.verts_uvs_padded[i]
+            u = (uv[:, 0] + i) / N
+            new_uvs.append(jnp.stack([u, uv[:, 1]], axis=1))
+        verts_uvs = jnp.concatenate(new_uvs, axis=0)[None]
+        Vuv = self.verts_uvs_padded.shape[1]
+        offsets = (jnp.arange(N, dtype=jnp.int32) * Vuv)[:, None, None]
+        faces_uvs = (self.faces_uvs_padded + offsets).reshape(1, -1, 3)
+        return TexturesUV(
+            maps_padded=packed,
+            faces_uvs_padded=faces_uvs,
+            verts_uvs_padded=verts_uvs,
+            padding_mode=self.padding_mode,
+            align_corners=self.align_corners,
+            sampling_mode=self.sampling_mode,
+        )
+
     @classmethod
     def join_batch(cls, textures: List["TexturesUV"]) -> "TexturesUV":
         first = textures[0]
