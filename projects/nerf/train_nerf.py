@@ -12,7 +12,12 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
+
+# self-locate the repo root (PYTHONPATH breaks the TPU plugin registration
+# in this environment, so the script adds the path itself)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp

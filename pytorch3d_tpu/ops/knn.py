@@ -37,8 +37,12 @@ def _pairwise_dist(p1: jnp.ndarray, p2: jnp.ndarray, norm: int) -> jnp.ndarray:
         # MXU path: one batched matmul dominates.
         x2 = jnp.sum(p1 * p1, axis=-1)  # (N, P1)
         y2 = jnp.sum(p2 * p2, axis=-1)  # (N, P2)
+        # precision=HIGHEST: TPU matmuls default to bf16 passes, whose
+        # error is catastrophic in the |x|^2+|y|^2-2xy cancellation
         xy = jnp.einsum(
-            "nid,njd->nij", p1, p2, preferred_element_type=jnp.float32
+            "nid,njd->nij", p1, p2,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         d = x2[..., :, None] + y2[..., None, :] - 2.0 * xy
         return jnp.maximum(d, 0.0)
@@ -85,15 +89,21 @@ def knn_points(
     P2 = p2.shape[1]
     K = int(min(K, P2))
 
-    d = _pairwise_dist(p1, p2, norm)  # (N, P1, P2)
-    if lengths2 is not None:
-        valid2 = (
-            jnp.arange(P2, dtype=jnp.int32)[None, :] < lengths2[:, None]
-        )  # (N, P2)
-        d = jnp.where(valid2[:, None, :], d, _INF)
-
-    neg_dists, idx = jax.lax.top_k(-d, K)  # ascending distance
-    dists = -neg_dists
+    # Large databases: chunk P2 with a running top-K merge so the distance
+    # matrix never exceeds (N, P1, C) — the analog of the reference's
+    # register-tiled V2/V3 kernels (knn.cu:113-253).
+    _CHUNK = 8192
+    if P2 > _CHUNK and P1 * P2 > 4_000_000:
+        dists, idx = _knn_chunked(p1, p2, lengths2, norm, K, _CHUNK)
+    else:
+        d = _pairwise_dist(p1, p2, norm)  # (N, P1, P2)
+        if lengths2 is not None:
+            valid2 = (
+                jnp.arange(P2, dtype=jnp.int32)[None, :] < lengths2[:, None]
+            )  # (N, P2)
+            d = jnp.where(valid2[:, None, :], d, _INF)
+        neg_dists, idx = jax.lax.top_k(-d, K)  # ascending distance
+        dists = -neg_dists
 
     if lengths1 is not None:
         valid1 = (
@@ -111,6 +121,46 @@ def knn_points(
 
     nn = knn_gather(p2, idx, lengths2) if return_nn else None
     return _KNN(dists=dists, idx=idx, knn=nn)
+
+
+def _knn_chunked(p1, p2, lengths2, norm, K, chunk):
+    """Scan over P2 chunks keeping a per-query running top-K buffer."""
+    N, P1, D = p1.shape
+    P2 = p2.shape[1]
+    n_chunks = -(-P2 // chunk)
+    pad = n_chunks * chunk - P2
+    p2p = jnp.pad(p2, ((0, 0), (0, pad), (0, 0)))
+    if lengths2 is None:
+        lengths2_eff = jnp.full((N,), P2, jnp.int32)
+    else:
+        lengths2_eff = lengths2
+    p2c = jnp.moveaxis(p2p.reshape(N, n_chunks, chunk, D), 1, 0)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    Kc = min(K, chunk)
+
+    init_d = jnp.full((N, P1, K), _INF, p1.dtype)
+    init_i = jnp.zeros((N, P1, K), jnp.int32)
+
+    def step(carry, chunk_in):
+        best_d, best_i = carry
+        pc, base = chunk_in
+        d = _pairwise_dist(p1, pc, norm)  # (N, P1, chunk)
+        j = base + jnp.arange(chunk, dtype=jnp.int32)
+        valid = j[None, :] < lengths2_eff[:, None]
+        d = jnp.where(valid[:, None, :], d, _INF)
+        nd, li = jax.lax.top_k(-d, Kc)
+        cd = -nd
+        ci = base + li.astype(jnp.int32)
+        all_d = jnp.concatenate([best_d, cd], axis=-1)
+        all_i = jnp.concatenate([best_i, ci], axis=-1)
+        order = jnp.argsort(all_d, axis=-1, stable=True)[..., :K]
+        return (
+            jnp.take_along_axis(all_d, order, axis=-1),
+            jnp.take_along_axis(all_i, order, axis=-1),
+        ), None
+
+    (dists, idx), _ = jax.lax.scan(step, (init_d, init_i), (p2c, bases))
+    return dists, idx
 
 
 def knn_gather(

@@ -65,7 +65,9 @@ def corresponding_points_alignment(
 
     total_weight = jnp.clip(jnp.sum(w, axis=1), eps)  # (N,)
     XYcov = jnp.einsum(
-        "npi,npj->nij", Xc * w[..., None], Yc, preferred_element_type=jnp.float32
+        "npi,npj->nij", Xc * w[..., None], Yc,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) / total_weight[:, None, None]
 
     U, S, Vt = jnp.linalg.svd(XYcov)

@@ -77,7 +77,11 @@ def get_point_covariances(
         return_nn=True,
     ).knn  # (N, P, K, 3)
     centered = k_nn - jnp.mean(k_nn, axis=2, keepdims=True)
+    import jax as _jax
+
     cov = jnp.einsum(
-        "npki,npkj->npij", centered, centered, preferred_element_type=jnp.float32
+        "npki,npkj->npij", centered, centered,
+        preferred_element_type=jnp.float32,
+        precision=_jax.lax.Precision.HIGHEST,
     ) / max(neighborhood_size, 1)
     return cov, k_nn
