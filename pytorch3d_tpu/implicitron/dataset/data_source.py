@@ -35,12 +35,31 @@ class ImplicitronDataSource(Configurable):
                 **self.dataset_map_provider_args
             )
         elif self.dataset_map_provider_class_type == "JsonIndexDatasetMapProvider":
+            import json as _json
+
             from .json_index_dataset import JsonIndexDataset
 
+            args = dict(self.dataset_map_provider_args)
+            subset_lists_file = args.pop("subset_lists_file", "")
+            subset_map = {}
+            if subset_lists_file:
+                with open(subset_lists_file) as f:
+                    # {split: [(sequence_name, frame_number, path), ...]}
+                    subset_map = _json.load(f)
             splits = {}
             for split in ("train", "val", "test"):
-                args = dict(self.dataset_map_provider_args)
-                splits[split] = JsonIndexDataset(**args)
+                ds = JsonIndexDataset(**args)
+                if subset_map.get(split):
+                    allowed = {
+                        (seq, int(fn)) for seq, fn, *_ in subset_map[split]
+                    }
+                    ds._frame_annots = [
+                        fa
+                        for fa in ds._frame_annots
+                        if (fa["sequence_name"], int(fa.get("frame_number", 0)))
+                        in allowed
+                    ]
+                splits[split] = ds
             self._provider = None
             self._dataset_map = DatasetMap(**splits)
         else:
