@@ -1,0 +1,174 @@
+"""Tests for pulsar, splatter shader, fisheye cameras, GLB IO, SQL dataset,
+implicitron trainer e2e, point-cloud tools, camera utils."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch3d_tpu.renderer import (
+    FoVPerspectiveCameras,
+    FishEyeCameras,
+    MeshRasterizer,
+    MeshRenderer,
+    PointLights,
+    RasterizationSettings,
+    SplatterPhongShader,
+    look_at_view_transform,
+)
+from pytorch3d_tpu.renderer.mesh.textures import TexturesVertex
+from pytorch3d_tpu.renderer.points.pulsar import Renderer as PulsarRenderer
+from pytorch3d_tpu.utils import ico_sphere
+
+
+class TestPulsar:
+    def test_occlusion_and_color(self):
+        rend = PulsarRenderer(32, 32, 10)
+        pos = jnp.asarray([[0.0, 0.0, 3.0], [0.0, 0.0, 5.0]])
+        col = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        rad = jnp.asarray([0.4, 0.4])
+        cam = jnp.asarray([0, 0, 0, 0, 0, 0, 0.1, 0.2], jnp.float32)
+        img = rend(pos, col, rad, cam, gamma=1e-2, max_depth=10.0, min_depth=0.1)
+        assert float(img[16, 16, 0]) > 0.5  # near red sphere wins
+        assert float(img[16, 16, 1]) < 0.5
+
+    def test_gamma_softens(self):
+        rend = PulsarRenderer(16, 16, 4)
+        pos = jnp.asarray([[0.0, 0.0, 3.0], [0.0, 0.0, 3.5]])
+        col = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        rad = jnp.asarray([0.5, 0.5])
+        cam = jnp.asarray([0, 0, 0, 0, 0, 0, 0.1, 0.2], jnp.float32)
+        hard = rend(pos, col, rad, cam, gamma=1e-3, max_depth=10.0, min_depth=0.1)
+        soft = rend(pos, col, rad, cam, gamma=1.0, max_depth=10.0, min_depth=0.1)
+        # soft blending mixes more green into the center than hard
+        assert float(soft[8, 8, 1]) > float(hard[8, 8, 1])
+
+    def test_grad(self):
+        rend = PulsarRenderer(16, 16, 4)
+        pos = jnp.asarray([[0.1, 0.0, 3.0]])
+        cam = jnp.asarray([0, 0, 0, 0, 0, 0, 0.1, 0.2], jnp.float32)
+
+        def loss(p):
+            img = rend(p, jnp.ones((1, 3)), jnp.asarray([0.5]), cam,
+                       gamma=0.1, max_depth=10.0, min_depth=0.1)
+            return jnp.sum(img[:, :8])  # left half
+
+        g = jax.grad(loss)(pos)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestSplatterShader:
+    def test_render_and_grad(self):
+        mesh = ico_sphere(1)
+        mesh = mesh.replace(
+            textures=TexturesVertex.create(mesh.verts_padded() * 0.5 + 0.5)
+        )
+        R, T = look_at_view_transform(dist=2.7)
+        cams = FoVPerspectiveCameras.create(R=R, T=T)
+        renderer = MeshRenderer(
+            MeshRasterizer(
+                cams, RasterizationSettings(image_size=32, faces_per_pixel=2)
+            ),
+            SplatterPhongShader(
+                cameras=cams, lights=PointLights.create(location=[[0, 0, -3]])
+            ),
+        )
+        img = renderer(mesh)
+        assert img.shape == (1, 32, 32, 4)
+        assert float(img[..., 3].max()) > 0.9
+
+        g = jax.grad(
+            lambda v: jnp.sum(renderer(mesh.update_padded(v)))
+        )(mesh.verts_padded())
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestFishEye:
+    def test_project_unproject(self):
+        fe = FishEyeCameras.create(
+            focal_length=300.0,
+            principal_point=(320.0, 240.0),
+            radial_params=((0.05, 0.01, 0.0, 0.0, 0.0, 0.0),),
+        )
+        pts = jnp.asarray(
+            np.random.RandomState(0).rand(1, 12, 3).astype(np.float32)
+            + np.asarray([0, 0, 2.0], np.float32)
+        )
+        proj = fe.transform_points(pts)
+        unproj = fe.unproject_points(proj, world_coordinates=False)
+        np.testing.assert_allclose(
+            np.asarray(unproj), np.asarray(pts), atol=1e-4
+        )
+
+    def test_distortion_increases_radius(self):
+        no_dist = FishEyeCameras.create(
+            focal_length=1.0, principal_point=(0.0, 0.0),
+            use_radial=False, use_tangential=False, use_thin_prism=False,
+        )
+        dist = FishEyeCameras.create(
+            focal_length=1.0, principal_point=(0.0, 0.0),
+            radial_params=((0.3, 0.0, 0.0, 0.0, 0.0, 0.0),),
+            use_tangential=False, use_thin_prism=False,
+        )
+        pt = jnp.asarray([[[0.5, 0.0, 1.0]]])
+        r0 = float(jnp.abs(no_dist.transform_points(pt)[0, 0, 0]))
+        r1 = float(jnp.abs(dist.transform_points(pt)[0, 0, 0]))
+        assert r1 > r0  # positive k0 pushes points outward
+
+
+class TestTrainerE2E:
+    def test_experiment_runs_and_resumes(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from projects.implicitron_trainer.experiment import (
+            Experiment,
+            get_default_args,
+        )
+
+        cfg = get_default_args(Experiment)
+        cfg["exp_dir"] = str(tmp_path)
+        cfg["model_args"] = dict(
+            render_image_width=16, render_image_height=16, num_passes=1,
+            chunk_size_grid=0,
+            raysampler_args=dict(
+                n_pts_per_ray_training=4, n_pts_per_ray_evaluation=4,
+                n_rays_per_image_sampled_from_mask=16, scene_extent=3.0,
+            ),
+            implicit_function_args=dict(
+                n_hidden_neurons_xyz=8, n_hidden_neurons_dir=8,
+                n_layers_xyz=2, append_xyz=(1,),
+            ),
+        )
+        cfg["dataset_args"] = dict(num_views=4, resolution=16)
+        cfg["training_loop_args"]["max_epochs"] = 1
+        Experiment(**cfg).run()
+        assert any(
+            f.startswith("model_epoch_") for f in os.listdir(tmp_path)
+        )
+        # resume for one more epoch
+        cfg["training_loop_args"]["max_epochs"] = 2
+        Experiment(**cfg).run()
+
+
+class TestPointCloudTools:
+    def test_rgbd_unproject_and_render(self):
+        from pytorch3d_tpu.implicitron.tools.point_cloud_utils import (
+            get_rgbd_point_cloud,
+            render_point_cloud_pytorch3d,
+        )
+
+        R, T = look_at_view_transform(dist=3.0)
+        cams = FoVPerspectiveCameras.create(R=R, T=T)
+        img = jnp.ones((1, 16, 16, 3)) * 0.6
+        depth = jnp.full((1, 16, 16, 1), 3.0)
+        pc = get_rgbd_point_cloud(cams, img, depth)
+        assert pc.points_padded().shape[1] == 256
+        imgs, mask = render_point_cloud_pytorch3d(
+            cams, pc, render_size=(16, 16), point_radius=0.1
+        )
+        assert imgs.shape == (1, 16, 16, 3)
+        assert float(mask.sum()) > 0
