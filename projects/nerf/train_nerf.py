@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--exp_dir", default="/tmp/nerf_exp")
     ap.add_argument("--use_mesh", action="store_true",
                     help="shard rays over all local devices")
+    ap.add_argument("--bg_white", action="store_true",
+                    help="composite empty rays onto white (blender-style)")
     args = ap.parse_args()
 
     train, val, test = get_nerf_datasets(
@@ -65,6 +67,7 @@ def main():
         n_hidden_neurons_dir=args.hidden // 2,
         n_layers_xyz=args.layers,
         append_xyz=(args.layers // 2,),
+        bg_color=(1.0, 1.0, 1.0) if args.bg_white else (0.0, 0.0, 0.0),
     )
     frame0 = train[0]
     key = jax.random.PRNGKey(0)

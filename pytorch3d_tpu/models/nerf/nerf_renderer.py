@@ -42,6 +42,7 @@ class RadianceFieldRenderer(nn.Module):
     n_hidden_neurons_dir: int = 128
     n_layers_xyz: int = 8
     append_xyz: tuple = (5,)
+    bg_color: tuple = (0.0, 0.0, 0.0)  # composited where rays are empty
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -120,6 +121,10 @@ class RadianceFieldRenderer(nn.Module):
             ray_bundle, density_noise_std=self.density_noise_std
         )
         rgb_coarse, weights = self._raymarcher(densities, colors)
+        bg = jnp.asarray(self.bg_color, rgb_coarse.dtype)
+        rgb_coarse = rgb_coarse + (
+            1.0 - jnp.sum(weights, axis=-1, keepdims=True)
+        ) * bg
 
         # fine pass (importance resampling)
         ray_bundle_fine = self._raysampler_fine(
@@ -129,7 +134,10 @@ class RadianceFieldRenderer(nn.Module):
         densities_f, colors_f = self._renderer_fine_field(
             ray_bundle_fine, density_noise_std=self.density_noise_std
         )
-        rgb_fine, _ = self._raymarcher(densities_f, colors_f)
+        rgb_fine, weights_f = self._raymarcher(densities_f, colors_f)
+        rgb_fine = rgb_fine + (
+            1.0 - jnp.sum(weights_f, axis=-1, keepdims=True)
+        ) * bg
 
         out = {"rgb_coarse": rgb_coarse, "rgb_fine": rgb_fine}
         metrics = {}
