@@ -35,7 +35,9 @@ from .sample_points_from_meshes import sample_points_from_meshes
 from .subdivide_meshes import SubdivideMeshes
 from .utils import (
     convert_pointclouds_to_tensor,
+    eyes,
     get_point_covariances,
+    is_pointclouds,
     masked_gather,
     wmean,
 )

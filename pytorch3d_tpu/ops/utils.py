@@ -14,6 +14,11 @@ from ..structures.pointclouds import Pointclouds
 from .knn import knn_gather, knn_points
 
 
+def eyes(dim: int, N: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(N, dim, dim) batch of identity matrices (reference ops/utils.py)."""
+    return jnp.broadcast_to(jnp.eye(dim, dtype=dtype), (N, dim, dim))
+
+
 def wmean(
     x: jnp.ndarray,
     weight: Optional[jnp.ndarray] = None,
