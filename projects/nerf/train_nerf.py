@@ -80,6 +80,14 @@ def main():
     mesh = get_device_mesh() if args.use_mesh else None
     step = make_nerf_train_step(model, optimizer, mesh=mesh)
 
+    @jax.jit
+    def val_step(params, camera, image):
+        out, m = model.apply(
+            params, camera, image=image, training=True,
+            key=jax.random.PRNGKey(123),
+        )
+        return m["psnr_fine"]
+
     stats = Stats(log_vars=["loss", "psnr_fine", "sec/it"])
     start_epoch = 0
     last = model_io.find_last_checkpoint(args.exp_dir)
@@ -113,11 +121,7 @@ def main():
         # validation PSNR on held-out views (MC rays for speed)
         psnrs = []
         for frame in val[: min(len(val), 4)]:
-            out, m = model.apply(
-                params, frame.camera, image=frame.image, training=True,
-                key=jax.random.PRNGKey(123),
-            )
-            psnrs.append(float(m["psnr_fine"]))
+            psnrs.append(float(val_step(params, frame.camera, frame.image)))
         print(f"[val] epoch {epoch} psnr_fine {np.mean(psnrs):.2f}")
 
         model_io.safe_save_model(params, opt_state, stats, args.exp_dir, epoch)

@@ -1,0 +1,18 @@
+from .base import ImplicitFunctionBase
+from .idr_feature_field import IdrFeatureField
+from .neural_radiance_field import (
+    NeRFormerImplicitFunction,
+    NeuralRadianceFieldImplicitFunction,
+)
+from .scene_representation_networks import (
+    SRNHyperNetImplicitFunction,
+    SRNImplicitFunction,
+)
+from .voxel_grid import (
+    CPFactorizedVoxelGrid,
+    FullResolutionVoxelGrid,
+    VMFactorizedVoxelGrid,
+)
+from .voxel_grid_implicit_function import VoxelGridImplicitFunction
+
+__all__ = [k for k in dir() if not k.startswith("_")]
