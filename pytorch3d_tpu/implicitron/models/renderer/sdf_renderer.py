@@ -60,6 +60,11 @@ class SignedDistanceFunctionRenderer(BaseRenderer):
         else:
             object_mask = object_mask.reshape(B, R) > 0.5
 
+        # materialize the field's parameters OUTSIDE the ray-tracing loops
+        # (flax creates params at first call; creating them inside
+        # lax.fori_loop during init leaks tracers)
+        fn(origins[:1, :1])
+
         def sdf_only(p):
             return fn(p)[..., 0]
 

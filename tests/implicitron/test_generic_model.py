@@ -112,3 +112,45 @@ class TestRenderedMeshProvider:
         # foreground mask should cover the sphere but not everything
         frac = float(frame.fg_probability.mean())
         assert 0.05 < frac < 0.95
+
+
+class TestSDFGenericModel:
+    def test_sdf_renderer_in_generic_model(self):
+        model = GenericModel(
+            render_image_width=8, render_image_height=8, num_passes=1,
+            chunk_size_grid=0,
+            raysampler_args=dict(
+                n_pts_per_ray_training=4, n_pts_per_ray_evaluation=4,
+                n_rays_per_image_sampled_from_mask=16, scene_extent=2.0,
+            ),
+            renderer_class_type="SignedDistanceFunctionRenderer",
+            renderer_args=dict(
+                ray_tracer_args=dict(n_steps=16, sphere_tracing_iters=4)
+            ),
+            implicit_function_class_type="IdrFeatureField",
+            implicit_function_args=dict(
+                dims=(32, 32), skip_in=(), n_harmonic_functions_xyz=2
+            ),
+        )
+        cams, img, fg = _inputs()
+        img = img[:, :8, :8]
+        fg = fg[:, :8, :8]
+        params = model.init(
+            jax.random.PRNGKey(0), image_rgb=img, camera=cams,
+            fg_probability=fg, evaluation_mode=EvaluationMode.TRAINING,
+        )
+        preds = model.apply(
+            params, image_rgb=img, camera=cams, fg_probability=fg,
+            evaluation_mode=EvaluationMode.TRAINING,
+        )
+        assert np.isfinite(float(preds["objective"]))
+        g = jax.grad(
+            lambda p: model.apply(
+                p, image_rgb=img, camera=cams, fg_probability=fg,
+                evaluation_mode=EvaluationMode.TRAINING,
+            )["objective"]
+        )(params)
+        assert all(
+            bool(np.isfinite(np.asarray(l)).all())
+            for l in jax.tree_util.tree_leaves(g)
+        )
