@@ -287,7 +287,12 @@ def load_config(path: str):
 def main():
     import sys
 
-    if len(sys.argv) > 1 and sys.argv[1].endswith((".yaml", ".yml")):
+    if len(sys.argv) > 1:
+        if not sys.argv[1].endswith((".yaml", ".yml")):
+            raise SystemExit(
+                f"usage: experiment.py [config.yaml]  (got {sys.argv[1]!r}; "
+                "pass the yaml path as the first positional argument)"
+            )
         cfg = load_config(sys.argv[1])
         experiment = Experiment(**cfg)
         experiment.run()

@@ -138,6 +138,7 @@ class GenericModel(nn.Module):
             depth_map=depth_map,
             fg_probability=fg_probability,
             xys=ray_bundle.xys,
+            camera_ids=ray_bundle.camera_ids,
         )
         stage = rendered.prev_stage
         prefix = "loss_prev_stage_"
@@ -149,6 +150,7 @@ class GenericModel(nn.Module):
                 depth_map=depth_map,
                 fg_probability=fg_probability,
                 xys=ray_bundle.xys,
+                camera_ids=ray_bundle.camera_ids,
                 keys_prefix=prefix,
             )
             stage = stage.prev_stage

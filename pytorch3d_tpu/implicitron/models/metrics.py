@@ -12,7 +12,7 @@ from typing import Any, Dict, Optional
 import jax.numpy as jnp
 
 from ..tools.config import ReplaceableBase, registry
-from ...renderer.utils import ndc_grid_sample
+from ...renderer.utils import ndc_grid_sample, ndc_grid_sample_packed
 
 
 def _huber(dfsq: jnp.ndarray, scaling: float = 0.03) -> jnp.ndarray:
@@ -57,6 +57,7 @@ class ViewMetrics(ViewMetricsBase):
         depth_map: Optional[jnp.ndarray] = None,
         fg_probability: Optional[jnp.ndarray] = None,
         xys: Optional[jnp.ndarray] = None,  # (N, ..., 2) ray NDC locations
+        camera_ids: Optional[jnp.ndarray] = None,  # (R,) for packed bundles
         keys_prefix: str = "loss_",
         **kwargs,
     ) -> Dict[str, Any]:
@@ -66,6 +67,18 @@ class ViewMetrics(ViewMetricsBase):
             if img is None or xys is None:
                 return None
             chan = jnp.moveaxis(img, -1, 1)  # (N, C, H, W)
+            if camera_ids is not None:
+                # heterogeneous bundle: xys is (R, spatial..., 2) with one
+                # source image per ray (reference metrics.py:268 sample_packed)
+                spatial = xys.shape[:-1]
+                ids = jnp.broadcast_to(
+                    camera_ids.reshape((-1,) + (1,) * (len(spatial) - 1)),
+                    spatial,
+                ).reshape(-1)
+                out = ndc_grid_sample_packed(
+                    chan, xys.reshape(-1, 2), ids
+                )  # (R, C)
+                return out.reshape(spatial + (chan.shape[1],))
             out = ndc_grid_sample(chan, xys)  # (N, C, ...)
             return jnp.moveaxis(out, 1, -1)
 

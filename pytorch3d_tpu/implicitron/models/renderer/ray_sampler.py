@@ -48,6 +48,15 @@ class AbstractMaskRaySampler(RaySamplerBase):
                 self.sampling_mode_evaluation
             ),
         }
+        if (
+            self.n_rays_total_training is not None
+            and self._sampling_mode[EvaluationMode.TRAINING]
+            != RenderSamplingMode.MASK_SAMPLE
+        ):
+            raise ValueError(
+                "n_rays_total_training requires sampling_mode_training="
+                "'mask_sample'"
+            )
         self._training_raysampler = NDCMultinomialRaysampler(
             image_width=self.image_width,
             image_height=self.image_height,
@@ -57,7 +66,9 @@ class AbstractMaskRaySampler(RaySamplerBase):
             n_rays_per_image=self.n_rays_per_image_sampled_from_mask
             if self._sampling_mode[EvaluationMode.TRAINING]
             == RenderSamplingMode.MASK_SAMPLE
+            and self.n_rays_total_training is None
             else None,
+            n_rays_total=self.n_rays_total_training,
             unit_directions=True,
             stratified_sampling=self.stratified_point_sampling_training,
         )
@@ -105,6 +116,8 @@ class AbstractMaskRaySampler(RaySamplerBase):
             directions=bundle.directions,
             lengths=bundle.lengths,
             xys=bundle.xys,
+            camera_ids=getattr(bundle, "camera_ids", None),
+            camera_counts=getattr(bundle, "camera_counts", None),
         )
 
 

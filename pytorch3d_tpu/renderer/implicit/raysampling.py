@@ -16,7 +16,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .utils import RayBundle
+from .utils import HeterogeneousRayBundle, RayBundle
 
 
 def _safe_multinomial_xy(key, xy_grid, n_rays):
@@ -142,10 +142,19 @@ class MultinomialRaysampler:
         n_rays_per_image: Optional[int] = None,
         n_pts_per_ray: Optional[int] = None,
         stratified_sampling: Optional[bool] = None,
+        n_rays_total: Optional[int] = None,
         key: Optional[jax.Array] = None,
         **kwargs,
     ) -> RayBundle:
+        """With ``n_rays_total`` set, samples a camera id per ray (uniform with
+        replacement, reference raysampling.py:199-212 `_sample_cameras_and_masks`)
+        and returns a HeterogeneousRayBundle of batch `n_rays_total` with one ray
+        per row. Static-shape variant: `camera_ids` is the per-ray id vector
+        (n_rays_total,) and `camera_counts` counts every original camera
+        (len(cameras),) — the reference's dynamic unique-id compaction does not
+        fit XLA."""
         B = cameras.R.shape[0]
+        n_rays_total = n_rays_total or self._n_rays_total
         min_depth = min_depth if min_depth is not None else self._min_depth
         max_depth = max_depth if max_depth is not None else self._max_depth
         n_rays_per_image = (
@@ -153,6 +162,21 @@ class MultinomialRaysampler:
             if n_rays_per_image is not None
             else self._n_rays_per_image
         )
+        if n_rays_total:
+            if n_rays_per_image:
+                raise ValueError(
+                    "`n_rays_total` and `n_rays_per_image` cannot both be defined."
+                )
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            key_cam, key = jax.random.split(key)
+            sampled_ids = jax.random.randint(key_cam, (n_rays_total,), 0, B)
+            camera_counts = jnp.bincount(sampled_ids, length=B)
+            cameras = cameras[sampled_ids]
+            if mask is not None:
+                mask = mask[sampled_ids]
+            B = n_rays_total
+            n_rays_per_image = 1
         n_pts_per_ray = (
             n_pts_per_ray if n_pts_per_ray is not None else self._n_pts_per_ray
         )
@@ -183,7 +207,7 @@ class MultinomialRaysampler:
             else:
                 xy_grid = _safe_multinomial_xy(key_sel, flat, n_rays_per_image)
 
-        return _xy_to_ray_bundle(
+        bundle = _xy_to_ray_bundle(
             cameras,
             xy_grid,
             min_depth,
@@ -193,6 +217,17 @@ class MultinomialRaysampler:
             stratified_sampling,
             key=key_strat,
         )
+        if n_rays_total:
+            # (n_rays_total, 1, ...) — reference `_pack_ray_bundle` shapes
+            return HeterogeneousRayBundle(
+                origins=bundle.origins,
+                directions=bundle.directions,
+                lengths=bundle.lengths,
+                xys=bundle.xys,
+                camera_ids=sampled_ids,
+                camera_counts=camera_counts,
+            )
+        return bundle
 
 
 class NDCMultinomialRaysampler(MultinomialRaysampler):
@@ -261,6 +296,7 @@ class MonteCarloRaysampler:
     ) -> None:
         self._bounds = (min_x, max_x, min_y, max_y)
         self._n_rays_per_image = n_rays_per_image
+        self._n_rays_total = n_rays_total
         self._n_pts_per_ray = n_pts_per_ray
         self._min_depth = min_depth
         self._max_depth = max_depth
@@ -272,16 +308,29 @@ class MonteCarloRaysampler:
         cameras,
         *,
         stratified_sampling: Optional[bool] = None,
+        n_rays_total: Optional[int] = None,
         key: Optional[jax.Array] = None,
         **kwargs,
     ) -> RayBundle:
         B = cameras.R.shape[0]
         if key is None:
             key = jax.random.PRNGKey(0)
+        n_rays_total = n_rays_total or self._n_rays_total
+        n_rays_per_image = self._n_rays_per_image
+        sampled_ids = camera_counts = None
+        if n_rays_total:
+            # static-shape variant of reference :375-387 (see
+            # MultinomialRaysampler.__call__ docstring)
+            key_cam, key = jax.random.split(key)
+            sampled_ids = jax.random.randint(key_cam, (n_rays_total,), 0, B)
+            camera_counts = jnp.bincount(sampled_ids, length=B)
+            cameras = cameras[sampled_ids]
+            B = n_rays_total
+            n_rays_per_image = 1
         key_xy, key_strat = jax.random.split(key)
         min_x, max_x, min_y, max_y = self._bounds
         u = jax.random.uniform(
-            key_xy, (B, self._n_rays_per_image, 2), jnp.float32
+            key_xy, (B, n_rays_per_image, 2), jnp.float32
         )
         xy = jnp.stack(
             [
@@ -295,7 +344,7 @@ class MonteCarloRaysampler:
             if stratified_sampling is not None
             else self._stratified_sampling
         )
-        return _xy_to_ray_bundle(
+        bundle = _xy_to_ray_bundle(
             cameras,
             xy,
             self._min_depth,
@@ -305,3 +354,13 @@ class MonteCarloRaysampler:
             stratified_sampling,
             key=key_strat,
         )
+        if n_rays_total:
+            return HeterogeneousRayBundle(
+                origins=bundle.origins,
+                directions=bundle.directions,
+                lengths=bundle.lengths,
+                xys=bundle.xys,
+                camera_ids=sampled_ids,
+                camera_counts=camera_counts,
+            )
+        return bundle

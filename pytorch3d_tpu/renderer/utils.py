@@ -105,3 +105,49 @@ def ndc_grid_sample(
         padding_mode=kwargs.get("padding_mode", "zeros"),
     )  # (N, C, 1, P)
     return out[:, :, 0].reshape((N, C) + spatial)
+
+
+def ndc_grid_sample_packed(
+    input: jnp.ndarray,  # (N, C, H, W)
+    xys_ndc: jnp.ndarray,  # (R, 2) NDC coords, one per packed ray
+    camera_ids: jnp.ndarray,  # (R,) int, image index per ray
+    mode: str = "bilinear",
+) -> jnp.ndarray:
+    """`ndc_grid_sample` for a packed (heterogeneous) ray bundle.
+
+    Static-shape replacement for the reference's pad-then-sample path
+    (reference implicitron/models/metrics.py:254-281): instead of
+    re-padding rays per unique camera (dynamic shapes), gather the four
+    bilinear neighbour pixels of each ray directly from its source image
+    — O(R*4*C) memory with no image replication.  Matches
+    `ndc_grid_sample(..., align_corners=False, padding_mode="zeros")`.
+
+    Returns (R, C).
+    """
+    N, C, H, W = input.shape
+    grid = ndc_to_grid_sample_coords(xys_ndc, (H, W))  # (R, 2) in [-1, 1]
+    # align_corners=False pixel-center mapping (torch grid_sample)
+    px = ((grid[:, 0] + 1.0) * W - 1.0) * 0.5
+    py = ((grid[:, 1] + 1.0) * H - 1.0) * 0.5
+
+    def fetch(ix, iy):
+        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        v = input[
+            camera_ids, :, jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1)
+        ]  # (R, C)
+        return jnp.where(valid[:, None], v, 0.0)
+
+    if mode == "nearest":
+        return fetch(
+            jnp.round(px).astype(jnp.int32), jnp.round(py).astype(jnp.int32)
+        )
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    wx = (px - x0)[:, None]
+    wy = (py - y0)[:, None]
+    return (
+        fetch(x0, y0) * (1 - wx) * (1 - wy)
+        + fetch(x0 + 1, y0) * wx * (1 - wy)
+        + fetch(x0, y0 + 1) * (1 - wx) * wy
+        + fetch(x0 + 1, y0 + 1) * wx * wy
+    )

@@ -222,3 +222,117 @@ class TestNeRFModel:
             losses.append(float(metrics["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestHeterogeneousSampling:
+    """n_rays_total packed sampling (reference raysampling.py:199, :375;
+    static-shape variant: per-ray camera_ids + full-length camera_counts)."""
+
+    def _cams3(self):
+        R, T = look_at_view_transform(
+            dist=2.7,
+            elev=jnp.asarray([0.0, 10.0, 20.0]),
+            azim=jnp.asarray([0.0, 30.0, 60.0]),
+        )
+        return FoVPerspectiveCameras.create(R=R, T=T)
+
+    def test_grid_n_rays_total(self):
+        from pytorch3d_tpu.renderer.implicit.utils import HeterogeneousRayBundle
+
+        cams = self._cams3()
+        s = NDCMultinomialRaysampler(
+            image_width=8, image_height=8, n_pts_per_ray=4,
+            min_depth=1.0, max_depth=4.0, n_rays_total=16,
+        )
+        b = s(cams, key=jax.random.PRNGKey(1))
+        assert isinstance(b, HeterogeneousRayBundle)
+        assert b.origins.shape == (16, 1, 3)
+        assert b.lengths.shape == (16, 1, 4)
+        assert b.xys.shape == (16, 1, 2)
+        assert b.camera_ids.shape == (16,)
+        assert b.camera_counts.shape == (3,)
+        assert int(b.camera_counts.sum()) == 16
+        # each packed ray originates at its sampled camera's center
+        centers = cams.get_camera_center()
+        assert np.allclose(
+            np.asarray(b.origins[:, 0]),
+            np.asarray(centers[b.camera_ids]),
+            atol=1e-5,
+        )
+
+    def test_grid_n_rays_total_masked(self):
+        cams = self._cams3()
+        s = NDCMultinomialRaysampler(
+            image_width=8, image_height=8, n_pts_per_ray=4,
+            min_depth=1.0, max_depth=4.0, n_rays_total=32,
+        )
+        mask = jnp.zeros((3, 8, 8)).at[:, :2, :2].set(1.0)
+        b = s(cams, mask=mask, key=jax.random.PRNGKey(2))
+        # all sampled xys must come from the 2x2 masked corner (4 grid points)
+        uniq = {
+            (round(float(x), 4), round(float(y), 4))
+            for x, y in np.asarray(b.xys.reshape(-1, 2))
+        }
+        assert len(uniq) <= 4
+
+    def test_mc_n_rays_total(self):
+        from pytorch3d_tpu.renderer.implicit.utils import HeterogeneousRayBundle
+
+        cams = self._cams3()
+        mc = MonteCarloRaysampler(
+            -1.0, 1.0, -1.0, 1.0, n_rays_per_image=4, n_pts_per_ray=4,
+            min_depth=1.0, max_depth=4.0, n_rays_total=10,
+        )
+        b = mc(cams, key=jax.random.PRNGKey(3))
+        assert isinstance(b, HeterogeneousRayBundle)
+        assert b.origins.shape == (10, 1, 3)
+        assert int(b.camera_counts.sum()) == 10
+
+    def test_implicitron_n_rays_total_training(self):
+        from pytorch3d_tpu.implicitron.models.renderer.base import EvaluationMode
+        from pytorch3d_tpu.implicitron.models.renderer.ray_sampler import (
+            AdaptiveRaySampler,
+        )
+
+        cams = self._cams3()
+        rs = AdaptiveRaySampler(
+            image_width=8, image_height=8, n_pts_per_ray_training=4,
+            n_rays_total_training=12, scene_extent=3.0,
+        )
+        mask = jnp.ones((3, 8, 8))
+        ib = rs(cams, EvaluationMode.TRAINING, mask=mask, key=jax.random.PRNGKey(4))
+        assert ib.origins.shape == (12, 1, 3)
+        assert ib.camera_ids.shape == (12,)
+        assert ib.camera_counts.shape == (3,)
+
+
+class TestNdcGridSamplePacked:
+    def test_matches_dense(self):
+        from pytorch3d_tpu.renderer.utils import (
+            ndc_grid_sample,
+            ndc_grid_sample_packed,
+        )
+
+        key = jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        imgs = jax.random.uniform(k1, (3, 4, 8, 6))  # (N, C, H, W)
+        R = 50
+        xys = jax.random.uniform(k2, (R, 2), minval=-0.9, maxval=0.9)
+        ids = jax.random.randint(k3, (R,), 0, 3)
+        packed = ndc_grid_sample_packed(imgs, xys, ids)  # (R, C)
+        # dense reference: sample each ray from its own image
+        dense = ndc_grid_sample(imgs[ids], xys[:, None])[:, :, 0]  # (R, C)
+        assert np.allclose(np.asarray(packed), np.asarray(dense), atol=1e-5)
+
+    def test_nearest_and_oob(self):
+        from pytorch3d_tpu.renderer.utils import (
+            ndc_grid_sample,
+            ndc_grid_sample_packed,
+        )
+
+        imgs = jnp.arange(2 * 1 * 4 * 4, dtype=jnp.float32).reshape(2, 1, 4, 4)
+        xys = jnp.asarray([[0.3, -0.4], [2.5, 0.0], [-0.1, 0.8]])  # one OOB
+        ids = jnp.asarray([1, 0, 1])
+        packed = ndc_grid_sample_packed(imgs, xys, ids, mode="nearest")
+        dense = ndc_grid_sample(imgs[ids], xys[:, None], mode="nearest")[:, :, 0]
+        assert np.allclose(np.asarray(packed), np.asarray(dense), atol=1e-6)
