@@ -112,7 +112,13 @@ def _cubify_one(vox: jnp.ndarray, thresh: float, align: str):
     faces_out = faces_out.at[jnp.where(valid_all, franks, FCAP)].set(
         faces_remap, mode="drop"
     )
-    return verts_out, faces_out, n_verts, n_faces
+    # source voxel (flat z*H*W + y*W + x) per compacted output face, for feats
+    src_vox = jnp.arange(FCAP, dtype=jnp.int32) // 12
+    vox_out = jnp.full((FCAP,), -1, jnp.int32)
+    vox_out = vox_out.at[jnp.where(valid_all, franks, FCAP)].set(
+        src_vox, mode="drop"
+    )
+    return verts_out, faces_out, n_verts, n_faces, vox_out
 
 
 def cubify(
@@ -128,7 +134,26 @@ def cubify(
     if voxels.ndim != 4:
         raise ValueError("voxels must be (N, D, H, W)")
     fn = lambda v: _cubify_one(v, thresh, align)
-    verts, faces, nv, nf = jax.vmap(fn)(voxels)
+    verts, faces, nv, nf, vox_ids = jax.vmap(fn)(voxels)
+    textures = None
+    if feats is not None and align == "center":
+        # one color per face: the generating voxel's feature vector, as a
+        # 1x1 TexturesAtlas (reference cubify.py:258-270)
+        if feats.ndim != 5:
+            raise ValueError("feats must be (N, K, D, H, W)")
+        N, K = feats.shape[:2]
+        feats_flat = jnp.moveaxis(feats, 1, -1).reshape(N, -1, K)  # (N, DHW, K)
+        atlas = jax.vmap(lambda f, v: f[jnp.maximum(v, 0)])(
+            feats_flat, vox_ids
+        )  # (N, FCAP, K)
+        atlas = jnp.where(vox_ids[..., None] >= 0, atlas, 0.0)
+        from ..renderer.mesh.textures import TexturesAtlas
+
+        textures = TexturesAtlas.create(atlas[:, :, None, None, :])
     return Meshes.create(
-        verts, faces, num_verts_per_mesh=nv, num_faces_per_mesh=nf
+        verts,
+        faces,
+        num_verts_per_mesh=nv,
+        num_faces_per_mesh=nf,
+        textures=textures,
     )

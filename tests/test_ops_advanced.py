@@ -232,3 +232,34 @@ class TestCamerasAlignment:
             np.asarray(cams_tgt.get_camera_center()),
             atol=1e-3,
         )
+
+
+class TestCubifyFeats:
+    def test_atlas_colors_from_voxels(self):
+        from pytorch3d_tpu.ops.cubify import cubify
+        from pytorch3d_tpu.renderer.mesh.textures import TexturesAtlas
+
+        # two occupied voxels with distinct colors
+        vox = jnp.zeros((1, 2, 2, 2)).at[0, 0, 0, 0].set(1.0).at[0, 1, 1, 1].set(1.0)
+        feats = jnp.zeros((1, 3, 2, 2, 2))
+        feats = feats.at[0, :, 0, 0, 0].set(jnp.asarray([1.0, 0.0, 0.0]))
+        feats = feats.at[0, :, 1, 1, 1].set(jnp.asarray([0.0, 1.0, 0.0]))
+        m = cubify(vox, 0.5, feats=feats, align="center")
+        assert isinstance(m.textures, TexturesAtlas)
+        atlas = m.textures.atlas_padded  # (1, FCAP, 1, 1, 3)
+        nf = int(m.num_faces_per_mesh()[0])
+        assert nf == 24  # two isolated cubes, 12 tris each
+        cols = np.asarray(atlas[0, :nf, 0, 0])
+        reds = (cols == [1.0, 0.0, 0.0]).all(-1).sum()
+        greens = (cols == [0.0, 1.0, 0.0]).all(-1).sum()
+        assert reds == 12 and greens == 12
+        # faces at padding have zero color
+        assert np.allclose(np.asarray(atlas[0, nf:]), 0.0)
+
+    def test_feats_ignored_unless_center(self):
+        from pytorch3d_tpu.ops.cubify import cubify
+
+        vox = jnp.zeros((1, 2, 2, 2)).at[0, 0, 0, 0].set(1.0)
+        feats = jnp.ones((1, 3, 2, 2, 2))
+        m = cubify(vox, 0.5, feats=feats, align="topleft")
+        assert m.textures is None  # reference only attaches for align="center"
