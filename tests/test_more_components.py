@@ -172,3 +172,58 @@ class TestPointCloudTools:
         )
         assert imgs.shape == (1, 16, 16, 3)
         assert float(mask.sum()) > 0
+
+
+class TestRasterizeMC:
+    """reference implicitron/tools/rasterize_mc.py — radius splat via the
+    point rasterizer (not nearest-pixel)."""
+
+    def test_radius_splat(self):
+        from pytorch3d_tpu.implicitron.tools.rasterize_mc import (
+            rasterize_mc_samples,
+        )
+
+        xys = jnp.asarray([[[0.0, 0.0], [0.5, 0.5]]])  # center + upper-left
+        feats = jnp.asarray([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]])
+        img, mask = rasterize_mc_samples(xys, feats, (64, 64), radius=0.2)
+        assert img.shape == (1, 64, 64, 3) and mask.shape == (1, 64, 64, 1)
+        covered = float(jnp.sum(mask > 0))
+        # radius 0.2 on a 64px NDC span of 2 -> ~6.4px radius disc per point
+        assert 2 * 3.14 * 10 < covered < 2 * 3.14 * 100
+        # red disc at image center
+        assert float(img[0, 32, 32, 0]) > 0.9
+        # green disc up-left of center (pytorch3d NDC: +X left, +Y up)
+        assert float(img[0, 16, 16, 1]) > 0.9
+
+    def test_sparse_ray_bundle_packed(self):
+        from pytorch3d_tpu.implicitron.models.renderer.base import (
+            ImplicitronRayBundle,
+        )
+        from pytorch3d_tpu.implicitron.tools.rasterize_mc import (
+            rasterize_sparse_ray_bundle,
+        )
+
+        R = 20
+        key = jax.random.PRNGKey(0)
+        xys = jax.random.uniform(key, (R, 1, 2), minval=-0.8, maxval=0.8)
+        ids = jnp.asarray([0] * 12 + [1] * 8)
+        bundle = ImplicitronRayBundle(
+            origins=jnp.zeros((R, 1, 3)),
+            directions=jnp.zeros((R, 1, 3)),
+            lengths=jnp.zeros((R, 1, 4)),
+            xys=xys,
+            camera_ids=ids,
+            camera_counts=jnp.asarray([12, 8]),
+        )
+        feats = jnp.ones((R, 1, 3)) * 0.7
+        depth = jnp.ones((R, 1, 1)) * 2.0
+        img, dep, msk = rasterize_sparse_ray_bundle(bundle, feats, (32, 32), depth)
+        assert img.shape == (2, 32, 32, 3)
+        assert dep.shape == (2, 32, 32, 1)
+        assert msk.shape == (2, 32, 32, 1)
+        # both cameras got some splats; alpha-normalized depth == 2
+        for ci in range(2):
+            on = np.asarray(msk[ci, ..., 0]) > 0.5
+            assert on.sum() > 0
+            d = np.asarray(dep[ci, ..., 0])[on] / np.asarray(msk[ci, ..., 0])[on]
+            assert np.allclose(d, 2.0, atol=1e-3)
