@@ -74,7 +74,8 @@ class TexturesVertex:
             )
         )
 
-    def join_scene(self) -> "TexturesVertex":
+    def join_scene(self, face_order=None) -> "TexturesVertex":
+        # vertex features follow verts_packed; face compaction is irrelevant
         N, V, C = self.verts_features_padded.shape
         return TexturesVertex(
             verts_features_padded=self.verts_features_padded.reshape(1, N * V, C)
@@ -167,9 +168,14 @@ class TexturesUV:
             verts_uvs_padded=self.verts_uvs_padded[index],
         )
 
-    def join_scene(self) -> "TexturesUV":
+    def join_scene(self, face_order=None) -> "TexturesUV":
         """Merge the batch into one texture: maps packed horizontally, UVs
-        offset into the packed atlas (reference textures.py join_scene)."""
+        offset into the packed atlas (reference textures.py join_scene).
+
+        `face_order` is the packed-face permutation applied by
+        `join_meshes_as_scene` when it compacts valid faces to the front —
+        per-face uv rows must follow it to stay aligned with pix_to_face.
+        """
         import jax.numpy as jnp
 
         N, Hm, Wm, C = self.maps_padded.shape
@@ -185,6 +191,8 @@ class TexturesUV:
         Vuv = self.verts_uvs_padded.shape[1]
         offsets = (jnp.arange(N, dtype=jnp.int32) * Vuv)[:, None, None]
         faces_uvs = (self.faces_uvs_padded + offsets).reshape(1, -1, 3)
+        if face_order is not None:
+            faces_uvs = faces_uvs[:, face_order]
         return TexturesUV(
             maps_padded=packed,
             faces_uvs_padded=faces_uvs,
@@ -268,6 +276,15 @@ class TexturesAtlas:
         if isinstance(index, (list, tuple)):
             index = jnp.asarray(index)
         return TexturesAtlas(atlas_padded=self.atlas_padded[index])
+
+    def join_scene(self, face_order=None) -> "TexturesAtlas":
+        """Merge the batch into one per-face atlas, following the packed-face
+        compaction permutation of `join_meshes_as_scene` (reference
+        textures.py TexturesAtlas.join_scene)."""
+        atlas = self.atlas_packed()  # (N*F, R, R, C)
+        if face_order is not None:
+            atlas = atlas[face_order]
+        return TexturesAtlas(atlas_padded=atlas[None])
 
     @classmethod
     def join_batch(cls, textures: List["TexturesAtlas"]) -> "TexturesAtlas":

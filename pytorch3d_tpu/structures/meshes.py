@@ -501,7 +501,8 @@ def join_meshes_as_scene(meshes: Meshes, include_textures: bool = True) -> Meshe
     nf = jnp.sum(fmask).astype(jnp.int32)[None]
     tex = None
     if include_textures and meshes.textures is not None:
-        tex = meshes.textures.join_scene()
+        # per-face texture data must follow the same compaction permutation
+        tex = meshes.textures.join_scene(face_order=order)
     return Meshes(
         _verts_padded=verts,
         _faces_padded=faces_sorted[None],

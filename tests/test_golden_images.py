@@ -106,3 +106,94 @@ class TestGoldenImages:
             HardGouraudShader(cameras=cams, lights=lights),
         )
         assert_image_close(renderer(tor)[..., :3], "golden_torus_gouraud.png")
+
+
+class TestJoinSceneTextures:
+    """Joined-scene per-face texture alignment with heterogeneous face
+    counts (the compaction permutation must be applied to texture rows)."""
+
+    def _scene(self, textures):
+        # mesh A: one triangle on the left; mesh B: two triangles (quad) right
+        va = jnp.asarray([[-0.9, -0.4, 1.0], [-0.1, -0.4, 1.0], [-0.5, 0.4, 1.0]])
+        fa = jnp.asarray([[0, 1, 2]], jnp.int32)
+        vb = jnp.asarray(
+            [[0.1, -0.4, 1.0], [0.9, -0.4, 1.0], [0.9, 0.4, 1.0], [0.1, 0.4, 1.0]]
+        )
+        fb = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+        from pytorch3d_tpu.structures import Meshes
+
+        return Meshes.create([va, vb], [fa, fb], textures=textures)
+
+    def _render(self, scene):
+        from pytorch3d_tpu.renderer import (
+            FoVOrthographicCameras,
+            MeshRasterizer,
+            MeshRenderer,
+            RasterizationSettings,
+            SoftSilhouetteShader,
+        )
+        from pytorch3d_tpu.renderer.mesh.shader import HardFlatShader
+        from pytorch3d_tpu.renderer.lighting import AmbientLights
+
+        cams = FoVOrthographicCameras.create(
+            R=jnp.eye(3)[None], T=jnp.zeros((1, 3))
+        )
+        renderer = MeshRenderer(
+            MeshRasterizer(
+                cams, RasterizationSettings(image_size=64, bin_size=0)
+            ),
+            HardFlatShader(
+                cameras=cams, lights=AmbientLights.create(ambient_color=((1.0, 1.0, 1.0),))
+            ),
+        )
+        return np.asarray(renderer(scene))[0]
+
+    def test_atlas_alignment(self):
+        from pytorch3d_tpu.renderer.mesh.textures import TexturesAtlas
+        from pytorch3d_tpu.structures import join_meshes_as_scene
+
+        red = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (1, 1, 1, 3))
+        green = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (2, 1, 1, 3))
+        tex = TexturesAtlas.create([red, green])
+        scene = join_meshes_as_scene(self._scene(tex))
+        img = self._render(scene)
+        # left half red, right half green (NDC +X left => mesh A is right in px)
+        left = img[:, :28]
+        right = img[:, 36:]
+        lr = (left[..., 0] > 0.5) & (left[..., 1] < 0.3)
+        lg = (left[..., 1] > 0.5) & (left[..., 0] < 0.3)
+        rr = (right[..., 0] > 0.5) & (right[..., 1] < 0.3)
+        rg = (right[..., 1] > 0.5) & (right[..., 0] < 0.3)
+        # one side purely red, the other purely green
+        assert (lr.sum() > 50 and rg.sum() > 50 and lg.sum() == 0 and rr.sum() == 0) or (
+            lg.sum() > 50 and rr.sum() > 50 and lr.sum() == 0 and rg.sum() == 0
+        )
+
+    def test_uv_alignment(self):
+        from pytorch3d_tpu.renderer.mesh.textures import TexturesUV
+        from pytorch3d_tpu.structures import join_meshes_as_scene
+
+        red_map = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (4, 4, 3))
+        green_map = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (4, 4, 3))
+        tex = TexturesUV.create(
+            maps=[red_map, green_map],
+            faces_uvs=[
+                jnp.asarray([[0, 1, 2]], jnp.int32),
+                jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32),
+            ],
+            verts_uvs=[
+                jnp.asarray([[0.2, 0.2], [0.8, 0.2], [0.5, 0.8]]),
+                jnp.asarray([[0.2, 0.2], [0.8, 0.2], [0.8, 0.8], [0.2, 0.8]]),
+            ],
+        )
+        scene = join_meshes_as_scene(self._scene(tex))
+        img = self._render(scene)
+        left = img[:, :28]
+        right = img[:, 36:]
+        lr = (left[..., 0] > 0.5) & (left[..., 1] < 0.3)
+        rg = (right[..., 1] > 0.5) & (right[..., 0] < 0.3)
+        lg = (left[..., 1] > 0.5) & (left[..., 0] < 0.3)
+        rr = (right[..., 0] > 0.5) & (right[..., 1] < 0.3)
+        assert (lr.sum() > 50 and rg.sum() > 50 and lg.sum() == 0 and rr.sum() == 0) or (
+            lg.sum() > 50 and rr.sum() > 50 and lr.sum() == 0 and rg.sum() == 0
+        )
