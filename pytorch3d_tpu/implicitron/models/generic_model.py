@@ -70,6 +70,11 @@ class GenericModel(nn.Module):
 
         rend_cls = registry.get(BaseRenderer, self.renderer_class_type)
         self._renderer = rend_cls(**(self.renderer_args or {}))
+        # adopt the renderer's learnable flax core (e.g. the LSTMRenderer's
+        # LSTM) into this model's scope so it trains with everything else
+        renderer_module = getattr(self._renderer, "flax_module", None)
+        if renderer_module is not None:
+            self._renderer_flax_module = renderer_module
 
         fn_cls = registry.get(
             ImplicitFunctionBase, self.implicit_function_class_type
@@ -115,11 +120,15 @@ class GenericModel(nn.Module):
                 ray_bundle, implicit_functions, evaluation_mode, k_render
             )
         else:
+            renderer_kwargs = {}
+            if getattr(self._renderer, "flax_module", None) is not None:
+                renderer_kwargs["lstm_module"] = self._renderer_flax_module
             rendered = self._renderer(
                 ray_bundle,
                 implicit_functions=implicit_functions,
                 evaluation_mode=evaluation_mode,
                 key=k_render,
+                **renderer_kwargs,
             )
 
         preds: Dict[str, Any] = {
@@ -205,11 +214,15 @@ class GenericModel(nn.Module):
             rb = ImplicitronRayBundle(
                 origins=o, directions=d, lengths=l, xys=xy
             )
+            renderer_kwargs = {}
+            if getattr(self._renderer, "flax_module", None) is not None:
+                renderer_kwargs["lstm_module"] = self._renderer_flax_module
             out = self._renderer(
                 rb,
                 implicit_functions=implicit_functions,
                 evaluation_mode=evaluation_mode,
                 key=key,
+                **renderer_kwargs,
             )
             return out.features, out.depths, out.masks
 

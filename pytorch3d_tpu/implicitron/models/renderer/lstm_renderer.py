@@ -42,12 +42,21 @@ class LSTMRenderer(BaseRenderer):
     def __post_init__(self):
         self._lstm = _LSTMCore(hidden_size=self.hidden_size)
 
+    @property
+    def flax_module(self) -> nn.Module:
+        """The renderer's learnable core.  GenericModel adopts this module
+        into its own flax scope (setup assigns it to an attribute) and feeds
+        the bound instance back via `lstm_module=` so the LSTM trains with
+        the rest of the model."""
+        return self._lstm
+
     def __call__(
         self,
         ray_bundle: ImplicitronRayBundle,
         implicit_functions: List = (),
         evaluation_mode: EvaluationMode = EvaluationMode.EVALUATION,
         lstm_params=None,
+        lstm_module: Optional[nn.Module] = None,
         key: Optional[jax.Array] = None,
         **kwargs,
     ) -> RendererOutput:
@@ -76,24 +85,27 @@ class LSTMRenderer(BaseRenderer):
             jax.random.normal(key, (M, 1)) * self.init_depth_noise_std
         )
 
-        if lstm_params is None:
-            # initialize LSTM parameters lazily (held outside; for the
-            # registry-driven GenericModel path the LSTM lives inside the
-            # renderer's own flax scope via implicit_functions)
-            feats0 = fn(o + depth * d)
-            lstm_params = self._lstm.init(
-                key,
-                feats0,
-                nn.OptimizedLSTMCell(self.hidden_size)
-                .initialize_carry(key, feats0.shape),
-            )
-        carry = nn.OptimizedLSTMCell(self.hidden_size).initialize_carry(
-            key, fn(o + depth * d).shape
-        )
+        # materialize the field's parameters with a warm-up call (flax
+        # creates params at first call)
+        feats0 = fn(o + depth * d)
+        # zero (c, h) carry, built by hand: constructing an LSTMCell here
+        # would trip flax's AssignSubModuleError when running inside
+        # GenericModel's method scope
+        zeros = jnp.zeros(feats0.shape[:-1] + (self.hidden_size,), feats0.dtype)
+        carry = (zeros, zeros)
+
+        if lstm_module is not None:
+            # bound submodule adopted by GenericModel — trains with the model
+            step = lstm_module
+        else:
+            if lstm_params is None:
+                # standalone use: hold params locally (not trainable here)
+                lstm_params = self._lstm.init(key, feats0, carry)
+            step = lambda f, c: self._lstm.apply(lstm_params, f, c)
 
         for _ in range(self.num_raymarch_steps):
             feats = fn(o + depth * d)
-            signal, carry = self._lstm.apply(lstm_params, feats, carry)
+            signal, carry = step(feats, carry)
             depth = depth + signal
 
         pts = o + depth * d

@@ -154,3 +154,57 @@ class TestSDFGenericModel:
             bool(np.isfinite(np.asarray(l)).all())
             for l in jax.tree_util.tree_leaves(g)
         )
+
+
+class TestLSTMGenericModel:
+    def test_lstm_renderer_in_generic_model(self):
+        model = GenericModel(
+            render_image_width=8, render_image_height=8, num_passes=1,
+            chunk_size_grid=0,
+            raysampler_args=dict(
+                n_pts_per_ray_training=4, n_pts_per_ray_evaluation=4,
+                n_rays_per_image_sampled_from_mask=16, scene_extent=2.0,
+            ),
+            renderer_class_type="LSTMRenderer",
+            renderer_args=dict(num_raymarch_steps=4, init_depth=2.0, hidden_size=8),
+            implicit_function_class_type="IdrFeatureField",
+            implicit_function_args=dict(
+                dims=(16, 16), skip_in=(), n_harmonic_functions_xyz=2
+            ),
+        )
+        cams, img, fg = _inputs()
+        img = img[:, :8, :8]
+        fg = fg[:, :8, :8]
+        params = model.init(
+            jax.random.PRNGKey(0), image_rgb=img, camera=cams,
+            fg_probability=fg, evaluation_mode=EvaluationMode.TRAINING,
+        )
+        # the LSTM core must live inside the model's own param tree
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        lstm_leaves = [
+            p for p, _ in flat if any("_renderer_flax_module" in str(k) for k in p)
+        ]
+        assert lstm_leaves, "LSTM params not adopted into GenericModel scope"
+
+        preds = model.apply(
+            params, image_rgb=img, camera=cams, fg_probability=fg,
+            evaluation_mode=EvaluationMode.TRAINING,
+        )
+        assert np.isfinite(float(preds["objective"]))
+        g = jax.grad(
+            lambda p: model.apply(
+                p, image_rgb=img, camera=cams, fg_probability=fg,
+                evaluation_mode=EvaluationMode.TRAINING,
+            )["objective"]
+        )(params)
+        # gradients reach the LSTM core (it actually trains)
+        gflat = jax.tree_util.tree_flatten_with_path(g)[0]
+        lstm_g = [
+            v for p, v in gflat
+            if any("_renderer_flax_module" in str(k) for k in p)
+        ]
+        assert lstm_g and any(float(jnp.abs(v).max()) > 0 for v in lstm_g)
+        assert all(
+            bool(np.isfinite(np.asarray(l)).all())
+            for l in jax.tree_util.tree_leaves(g)
+        )
