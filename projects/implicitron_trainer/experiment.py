@@ -210,11 +210,13 @@ class Experiment(Configurable):
         run_auto_creation(self)
 
     def run(self):
+        print("[setup] rendering in-process dataset...", flush=True)
         provider = RenderedMeshDatasetMapProvider(
             **(self.dataset_args or {})
         )
         datasets = provider.get_dataset_map()
 
+        print("[setup] building + initializing model...", flush=True)
         model = GenericModel(**(self.model_args or {}))
         frame0 = datasets["train"][0]
         key = jax.random.PRNGKey(0)

@@ -63,7 +63,7 @@ class ViewMetrics(ViewMetricsBase):
     ) -> Dict[str, Any]:
         metrics = {}
 
-        def sample(img):
+        def sample(img, mode="bilinear"):
             if img is None or xys is None:
                 return None
             chan = jnp.moveaxis(img, -1, 1)  # (N, C, H, W)
@@ -76,15 +76,20 @@ class ViewMetrics(ViewMetricsBase):
                     spatial,
                 ).reshape(-1)
                 out = ndc_grid_sample_packed(
-                    chan, xys.reshape(-1, 2), ids
+                    chan, xys.reshape(-1, 2), ids, mode=mode
                 )  # (R, C)
                 return out.reshape(spatial + (chan.shape[1],))
-            out = ndc_grid_sample(chan, xys)  # (N, C, ...)
+            out = ndc_grid_sample(chan, xys, mode=mode)  # (N, C, ...)
             return jnp.moveaxis(out, 1, -1)
 
+        # rgb bilinear; masks/depth nearest (reference metrics.py:284-287)
         gt_rgb = sample(image_rgb)
-        gt_mask = sample(fg_probability) if fg_probability is not None else None
-        gt_depth = sample(depth_map) if depth_map is not None else None
+        gt_mask = (
+            sample(fg_probability, "nearest")
+            if fg_probability is not None
+            else None
+        )
+        gt_depth = sample(depth_map, "nearest") if depth_map is not None else None
 
         pred_rgb = raymarched.features
         pred_mask = raymarched.masks
