@@ -41,6 +41,11 @@ class ImplicitronRayBundle:
     bins: Optional[jnp.ndarray] = None
     pixel_radii_2d: Optional[jnp.ndarray] = None
 
+    def is_packed(self) -> bool:
+        """True for heterogeneous (one-ray-per-row) bundles (reference
+        implicitron/models/renderer/base.py ImplicitronRayBundle.is_packed)."""
+        return self.camera_ids is not None and self.camera_counts is not None
+
 
 @dataclasses.dataclass
 class RendererOutput:
