@@ -208,3 +208,55 @@ class TestLSTMGenericModel:
             bool(np.isfinite(np.asarray(l)).all())
             for l in jax.tree_util.tree_leaves(g)
         )
+
+
+class TestSqlIndexDataset:
+    """reference implicitron/dataset/sql_dataset.py — sqlite round-trip."""
+
+    def test_write_filter_read(self, tmp_path):
+        from pytorch3d_tpu.implicitron.dataset.sql_dataset import (
+            SqlIndexDataset,
+            write_sql_dataset,
+        )
+
+        db = str(tmp_path / "annots.sqlite")
+        frames = []
+        for seq in ("a", "b"):
+            for i in range(5):
+                frames.append(
+                    dict(
+                        sequence_name=seq,
+                        frame_number=i,
+                        image=dict(path=f"{seq}/{i}.png", size=(8, 8)),
+                        viewpoint=dict(
+                            R=np.eye(3).tolist(),
+                            T=[0.0, 0.0, float(i)],
+                            focal_length=[1.0, 1.0],
+                            principal_point=[0.0, 0.0],
+                        ),
+                    )
+                )
+        write_sql_dataset(
+            db, frames,
+            sequence_annots=[
+                dict(sequence_name="a", category="chair"),
+                dict(sequence_name="b", category="plant"),
+            ],
+        )
+        ds = SqlIndexDataset(sqlite_metadata_file=db)
+        assert len(ds) == 10
+        assert ds.sequence_names() == ["a", "b"]
+        assert ds.sequence_category("b") == "plant"
+        fd = ds[7]
+        assert fd.sequence_name == "b"
+        assert float(fd.camera.T[0, 2]) == 2.0
+
+        # filters: pick one sequence, cap frames
+        ds2 = SqlIndexDataset(
+            sqlite_metadata_file=db, pick_sequence=("a",),
+            n_frames_per_sequence=3,
+        )
+        assert len(ds2) == 3
+        assert all(ds2[i].sequence_name == "a" for i in range(3))
+        idx = list(ds2.sequence_indices_in_order("a"))
+        assert idx == [0, 1, 2]
