@@ -260,3 +260,78 @@ class TestSqlIndexDataset:
         assert all(ds2[i].sequence_name == "a" for i in range(3))
         idx = list(ds2.sequence_indices_in_order("a"))
         assert idx == [0, 1, 2]
+
+
+class TestJsonIndexDataset:
+    """reference implicitron/dataset/json_index_dataset.py — CO3D jgz
+    round-trip with real image loading."""
+
+    def test_jgz_roundtrip_with_images(self, tmp_path):
+        import gzip
+        import json
+
+        from PIL import Image
+
+        from pytorch3d_tpu.implicitron.dataset.json_index_dataset import (
+            JsonIndexDataset,
+        )
+
+        root = tmp_path
+        frames = []
+        for seq, cat in (("s1", "chair"), ("s2", "plant")):
+            (root / seq).mkdir()
+            for i in range(4):
+                img = (np.random.rand(8, 8, 3) * 255).astype(np.uint8)
+                Image.fromarray(img).save(root / seq / f"{i}.png")
+                frames.append(
+                    dict(
+                        sequence_name=seq,
+                        frame_number=i,
+                        image=dict(path=f"{seq}/{i}.png", size=(8, 8)),
+                        viewpoint=dict(
+                            R=np.eye(3).tolist(),
+                            T=[0.0, 0.0, float(i)],
+                            focal_length=[1.0, 1.0],
+                            principal_point=[0.0, 0.0],
+                        ),
+                    )
+                )
+        fa = str(root / "frame_annotations.jgz")
+        with gzip.open(fa, "wt", encoding="utf8") as f:
+            json.dump(frames, f)
+        sa = str(root / "sequence_annotations.json")
+        with open(sa, "w") as f:
+            json.dump(
+                [
+                    dict(sequence_name="s1", category="chair"),
+                    dict(sequence_name="s2", category="plant"),
+                ],
+                f,
+            )
+
+        ds = JsonIndexDataset(
+            frame_annotations_file=fa,
+            sequence_annotations_file=sa,
+            dataset_root=str(root),
+            image_height=16,
+            image_width=16,
+        )
+        assert len(ds) == 8
+        assert ds.sequence_names() == ["s1", "s2"]
+        fd = ds[5]
+        assert fd.sequence_name == "s2"
+        assert fd.image_rgb.shape == (1, 16, 16, 3)
+        assert fd.sequence_category == "plant"
+        assert float(fd.camera.T[0, 2]) == 1.0
+
+        # category filter + per-sequence cap
+        ds2 = JsonIndexDataset(
+            frame_annotations_file=fa,
+            sequence_annotations_file=sa,
+            dataset_root=str(root),
+            limit_category_to=("chair",),
+            n_frames_per_sequence=2,
+            load_images=False,
+        )
+        assert len(ds2) == 2
+        assert all(ds2[i].sequence_name == "s1" for i in range(2))
