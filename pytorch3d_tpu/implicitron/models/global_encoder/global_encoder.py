@@ -59,7 +59,11 @@ class HarmonicTimeEncoder(nn.Module, GlobalEncoderBase):
         )
 
     def get_encoding_dim(self) -> int:
-        return self._harmonic_embedding.get_output_dim(1)
+        # static (config-only) — must work outside init/apply, where setup
+        # attributes are unreachable
+        return HarmonicEmbedding.get_output_dim_static(
+            1, self.n_harmonic_functions, self.append_input
+        )
 
     def __call__(self, frame_timestamp=None, sequence_name=None, **kwargs):
         if frame_timestamp is None:

@@ -1,0 +1,164 @@
+"""Implicitron auxiliary components: view pooler, global encoders,
+feature extractor, evaluation (reference tests/implicitron/test_viewsampling,
+test_srn/autodecoder usage, test_evaluation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch3d_tpu.renderer import (
+    FoVPerspectiveCameras,
+    PerspectiveCameras,
+    look_at_view_transform,
+)
+
+
+class TestViewPooler:
+    def _cams(self, v=3):
+        R, T = look_at_view_transform(
+            dist=2.7,
+            elev=jnp.linspace(0.0, 30.0, v),
+            azim=jnp.linspace(0.0, 90.0, v),
+        )
+        return PerspectiveCameras.create(R=R, T=T)
+
+    def test_reduction_constant_maps(self):
+        from pytorch3d_tpu.implicitron.models.view_pooler.view_pooler import (
+            ViewPooler,
+        )
+
+        V, C, H, W = 3, 4, 8, 8
+        # constant per-view maps: 1, 2, 3
+        feats = {
+            "f": jnp.stack(
+                [jnp.full((C, H, W), float(i + 1)) for i in range(V)]
+            )
+        }
+        pooler = ViewPooler(
+            feature_aggregator_args=dict(reduction_functions=("avg", "std"))
+        )
+        pts = jnp.zeros((1, 5, 3))  # points at origin project inside all views
+        out = pooler(
+            pts=pts, camera=self._cams(V), feats=feats, masks=None
+        )
+        agg = out["f"]  # (1, P, C*2)
+        assert agg.shape == (1, 5, C * 2)
+        assert pooler.get_aggregated_feature_dim(C, V) == C * 2
+        # avg of (1,2,3) = 2; std = sqrt(2/3)
+        assert np.allclose(np.asarray(agg[0, :, :C]), 2.0, atol=1e-4)
+        assert np.allclose(
+            np.asarray(agg[0, :, C:]), np.sqrt(2.0 / 3.0), atol=1e-4
+        )
+
+    def test_identity_and_angle_weighted(self):
+        from pytorch3d_tpu.implicitron.models.view_pooler.view_pooler import (
+            ViewPooler,
+        )
+
+        V, C, H, W = 2, 3, 8, 8
+        feats = {"f": jnp.ones((V, C, H, W))}
+        pts = jnp.zeros((1, 4, 3))
+        ident = ViewPooler(feature_aggregator_class_type="IdentityFeatureAggregator")
+        out = ident(pts=pts, camera=self._cams(V), feats=feats, masks=None)
+        assert out["f"].shape == (1, 4, V * C)
+        assert ident.get_aggregated_feature_dim(C, V) == V * C
+
+        ang = ViewPooler(
+            feature_aggregator_class_type="AngleWeightedReductionFeatureAggregator",
+            feature_aggregator_args=dict(reduction_functions=("avg",)),
+        )
+        out2 = ang(pts=pts, camera=self._cams(V), feats=feats, masks=None)
+        assert out2["f"].shape == (1, 4, C)
+        assert np.isfinite(np.asarray(out2["f"])).all()
+
+    def test_view_sampler_samples_projected_position(self):
+        """Feature maps encode their own NDC x coordinate — sampling at a
+        world point must return (approximately) the point's projected x."""
+        from pytorch3d_tpu.implicitron.models.view_pooler.view_sampler import (
+            ViewSampler,
+        )
+
+        H = W = 33
+        cams = self._cams(1)
+        # map[0, y, x] = ndc x at that pixel (pytorch3d NDC: +X left)
+        xs = jnp.linspace(1.0, -1.0, W)
+        fmap = jnp.broadcast_to(xs[None, None, None, :], (1, 1, H, W))
+        pts = jnp.asarray([[[0.2, -0.1, 0.05]]])
+        sampler = ViewSampler()
+        sampled, masks = sampler(pts, None, cams, None, {"f": fmap}, None)
+        proj_x = float(cams.transform_points(pts.reshape(1, 1, 3))[0, 0, 0])
+        assert abs(float(sampled["f"][0, 0, 0]) - proj_x) < 0.05
+        assert masks.shape == (1, 1, 1)
+
+
+class TestGlobalEncoders:
+    def test_sequence_autodecoder(self):
+        from pytorch3d_tpu.implicitron.models.global_encoder.global_encoder import (
+            SequenceAutodecoder,
+        )
+
+        enc = SequenceAutodecoder(encoding_dim=8, n_instances=10)
+        params = enc.init(jax.random.PRNGKey(0), sequence_name=["seq_a"])
+        assert enc.get_encoding_dim() == 8
+        za = enc.apply(params, sequence_name=["seq_a"])
+        za2 = enc.apply(params, sequence_name=["seq_a"])
+        zb = enc.apply(params, sequence_name=["seq_b"])
+        assert za.shape == (1, 8)
+        assert np.allclose(np.asarray(za), np.asarray(za2))  # deterministic
+        assert not np.allclose(np.asarray(za), np.asarray(zb))
+
+    def test_harmonic_time_encoder(self):
+        from pytorch3d_tpu.implicitron.models.global_encoder.global_encoder import (
+            HarmonicTimeEncoder,
+        )
+
+        enc = HarmonicTimeEncoder(n_harmonic_functions=4)
+        params = enc.init(jax.random.PRNGKey(0), frame_timestamp=[0.5])
+        z = enc.apply(params, frame_timestamp=[0.5, 1.0])
+        assert z.shape == (2, enc.get_encoding_dim())
+        assert np.isfinite(np.asarray(z)).all()
+
+
+class TestFeatureExtractor:
+    def test_resnet_feature_extractor(self):
+        from pytorch3d_tpu.implicitron.models.feature_extractor.resnet_feature_extractor import (
+            ResNetFeatureExtractor,
+        )
+
+        fe = ResNetFeatureExtractor()
+        img = jnp.ones((2, 32, 32, 3)) * 0.5
+        params = fe.init(jax.random.PRNGKey(0), img)
+        out = fe.apply(params, img)
+        # dict of multi-scale feature maps
+        assert isinstance(out, dict) and len(out) >= 1
+        for _, f in out.items():
+            assert f.shape[0] == 2
+            assert np.isfinite(np.asarray(f)).all()
+
+
+class TestEvaluation:
+    def test_eval_batch_metrics(self):
+        from pytorch3d_tpu.implicitron.dataset.frame_data import FrameData
+        from pytorch3d_tpu.implicitron.evaluation.evaluate_new_view_synthesis import (
+            eval_batch,
+        )
+
+        H = W = 16
+        gt = jnp.ones((1, H, W, 3)) * 0.5
+        mask = jnp.zeros((1, H, W, 1)).at[:, 4:12, 4:12].set(1.0)
+        fd = FrameData(image_rgb=gt, fg_probability=mask)
+        # perfect prediction -> very high psnr; half-off -> finite smaller
+        perfect = dict(
+            images_render=gt, masks_render=mask, depths_render=None
+        )
+        r1 = eval_batch(fd, perfect)
+        assert r1["psnr"] > 60
+        noisy = dict(
+            images_render=jnp.clip(gt + 0.1, 0, 1),
+            masks_render=mask,
+            depths_render=None,
+        )
+        r2 = eval_batch(fd, noisy)
+        assert r2["psnr"] < r1["psnr"]
+        assert abs(r2["rgb_l1"] - 0.1) < 1e-3
+        assert "psnr_fg" in r2 and np.isfinite(r2["psnr_fg"])
