@@ -58,9 +58,13 @@ class ModelDBIR(nn.Module):
         from ...structures.pointclouds import Pointclouds
 
         N, H, W, _ = image_rgb.shape
-        # unproject source pixels with depth into world space
+        # unproject source pixels with depth into world space, at NDC pixel
+        # CENTERS (1 - (2i+1)/n) so the re-rendered splats land back on the
+        # rasterizer's pixel centers
         ys, xs = jnp.meshgrid(
-            jnp.linspace(1, -1, H), jnp.linspace(1, -1, W), indexing="ij"
+            jnp.linspace(1 - 1 / H, -1 + 1 / H, H),
+            jnp.linspace(1 - 1 / W, -1 + 1 / W, W),
+            indexing="ij",
         )
         xy = jnp.stack([xs, ys], axis=-1).reshape(-1, 2)
         pts_all = []
