@@ -101,3 +101,56 @@ class TestVideoWriter:
         path = vw.get_video()
         assert os.path.isfile(path)
         assert os.path.getsize(path) > 0
+
+
+class TestEvalVideoTrajectory:
+    def test_circular_fit_cameras(self):
+        import jax.numpy as jnp
+
+        from pytorch3d_tpu.implicitron.tools.eval_video_trajectory import (
+            generate_eval_video_cameras,
+        )
+        from pytorch3d_tpu.renderer import (
+            FoVPerspectiveCameras,
+            look_at_view_transform,
+        )
+
+        R, T = look_at_view_transform(
+            dist=3.0,
+            elev=jnp.zeros(12),
+            azim=jnp.linspace(0.0, 330.0, 12),
+        )
+        train_cams = FoVPerspectiveCameras.create(R=R, T=T)
+        eval_cams = generate_eval_video_cameras(
+            train_cams, n_eval_cams=20, trajectory_scale=1.0
+        )
+        centers = np.asarray(eval_cams.get_camera_center())
+        assert centers.shape == (20, 3)
+        # eval path stays on the training circle: radius 3 around origin
+        r = np.linalg.norm(centers, axis=-1)
+        assert np.allclose(r, 3.0, atol=0.1)
+        # looks at the scene center: projecting the origin lands near NDC 0
+        proj = np.asarray(
+            eval_cams.transform_points(jnp.zeros((20, 1, 3)))
+        )[:, 0, :2]
+        assert np.abs(proj).max() < 0.15
+
+
+class TestRotateOnSpot:
+    def test_camera_center_fixed(self):
+        import jax.numpy as jnp
+
+        from pytorch3d_tpu.renderer import (
+            FoVPerspectiveCameras,
+            look_at_view_transform,
+        )
+        from pytorch3d_tpu.renderer.camera_utils import rotate_on_spot
+        from pytorch3d_tpu.transforms import axis_angle_to_matrix
+
+        R, T = look_at_view_transform(dist=2.5, elev=15.0, azim=40.0)
+        rot = axis_angle_to_matrix(jnp.asarray([0.0, 0.3, 0.0]))
+        R2, T2 = rotate_on_spot(R, T, rot)
+        c1 = np.asarray(FoVPerspectiveCameras.create(R=R, T=T).get_camera_center())
+        c2 = np.asarray(FoVPerspectiveCameras.create(R=R2, T=T2).get_camera_center())
+        assert np.allclose(c1, c2, atol=1e-5)  # position unchanged
+        assert not np.allclose(np.asarray(R), np.asarray(R2))  # orientation changed
