@@ -49,6 +49,26 @@ class SceneBatchSampler(Configurable):
         return batches
 
 
+class _SingleSequenceListAdapter:
+    """Adapts a plain list of frames (e.g. RenderedMeshDatasetMapProvider
+    output) to the DatasetBase protocol as one sequence."""
+
+    def __init__(self, frames):
+        self._frames = frames
+
+    def __len__(self):
+        return len(self._frames)
+
+    def __getitem__(self, i):
+        return self._frames[i]
+
+    def sequence_names(self):
+        return ["scene"]
+
+    def sequence_indices_in_order(self, seq_name):
+        return iter(range(len(self._frames)))
+
+
 class _Loader:
     def __init__(self, dataset: DatasetBase, batches: List[List[int]]):
         self._dataset = dataset
@@ -80,6 +100,8 @@ class SequenceDataLoaderMapProvider(Configurable):
             if ds is None:
                 out[split] = None
                 continue
+            if isinstance(ds, (list, tuple)):
+                ds = _SingleSequenceListAdapter(ds)
             if split == "train":
                 sampler = SceneBatchSampler(
                     batch_size=self.batch_size,

@@ -266,3 +266,54 @@ class TestModelDBIR:
         # compare away from borders (splat falloff at edges)
         diff = np.abs(ren[8:-8, 8:-8, :3] - src[8:-8, 8:-8])
         assert diff.mean() < 0.08
+
+
+class TestImplicitronEvaluator:
+    def test_run_over_loader(self, tmp_path):
+        import json
+
+        from pytorch3d_tpu.implicitron.dataset.data_loader_map_provider import (
+            SequenceDataLoaderMapProvider,
+        )
+        from pytorch3d_tpu.implicitron.dataset.rendered_mesh_dataset_map_provider import (
+            RenderedMeshDatasetMapProvider,
+        )
+        from pytorch3d_tpu.implicitron.evaluation.evaluator import (
+            ImplicitronEvaluator,
+        )
+        from pytorch3d_tpu.implicitron.models.generic_model import GenericModel
+        from pytorch3d_tpu.implicitron.models.renderer.base import EvaluationMode
+
+        provider = RenderedMeshDatasetMapProvider(num_views=4, resolution=16)
+        dsmap = provider.get_dataset_map()
+        loaders = SequenceDataLoaderMapProvider().get_data_loader_map(dsmap)
+        test_loader = loaders["val"] or loaders["test"]
+
+        model = GenericModel(
+            render_image_width=16, render_image_height=16, num_passes=1,
+            chunk_size_grid=64,
+            raysampler_args=dict(
+                n_pts_per_ray_training=4, n_pts_per_ray_evaluation=4,
+                n_rays_per_image_sampled_from_mask=16, scene_extent=3.0,
+            ),
+            implicit_function_args=dict(
+                n_hidden_neurons_xyz=8, n_hidden_neurons_dir=4,
+                n_layers_xyz=2, append_xyz=(1,),
+            ),
+        )
+        frame0 = next(iter(test_loader))
+        params = model.init(
+            jax.random.PRNGKey(0), image_rgb=frame0.image_rgb,
+            camera=frame0.camera, fg_probability=frame0.fg_probability,
+            evaluation_mode=EvaluationMode.TRAINING,
+        )
+        ev = ImplicitronEvaluator()
+        results = ev.run(
+            model, params, test_loader,
+            exp_dir=str(tmp_path), dump_to_json=True,
+        )
+        assert len(results) == len(test_loader)
+        for r in results:
+            assert np.isfinite(r["psnr"])
+        dumped = json.load(open(tmp_path / "results_test.json"))
+        assert "aggregate" in dumped and len(dumped["results"]) == len(results)
