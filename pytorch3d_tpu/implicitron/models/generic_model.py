@@ -61,6 +61,16 @@ class GenericModel(nn.Module):
     implicit_function_args: Optional[Dict[str, Any]] = None
     loss_weights: Optional[Dict[str, float]] = None
 
+    # view pooling: sample per-point features from source views (NeRFormer /
+    # IDR style, reference generic_model.py view_pooler/image_feature_extractor)
+    view_pooler_enabled: bool = False
+    image_feature_extractor_args: Optional[Dict[str, Any]] = None
+    view_pooler_args: Optional[Dict[str, Any]] = None
+
+    # global per-sequence / per-time code concatenated to implicit fn input
+    global_encoder_class_type: Optional[str] = None
+    global_encoder_args: Optional[Dict[str, Any]] = None
+
     def setup(self):
         rs_cls = registry.get(RaySamplerBase, self.raysampler_class_type)
         rs_args = dict(self.raysampler_args or {})
@@ -83,6 +93,25 @@ class GenericModel(nn.Module):
             fn_cls(**(self.implicit_function_args or {}), name=f"implicit_function_{i}")
             for i in range(self.num_passes)
         ]
+        if self.view_pooler_enabled:
+            from .feature_extractor.resnet_feature_extractor import (
+                ResNetFeatureExtractor,
+            )
+            from .view_pooler.view_pooler import ViewPooler
+
+            self._image_feature_extractor = ResNetFeatureExtractor(
+                **(self.image_feature_extractor_args or {})
+            )
+            self._view_pooler = ViewPooler(**(self.view_pooler_args or {}))
+
+        if self.global_encoder_class_type:
+            from .global_encoder.global_encoder import GlobalEncoderBase
+
+            enc_cls = registry.get(
+                GlobalEncoderBase, self.global_encoder_class_type
+            )
+            self._global_encoder = enc_cls(**(self.global_encoder_args or {}))
+
         self._view_metrics = ViewMetrics()
         self._reg_metrics = RegularizationMetrics()
 
@@ -112,17 +141,57 @@ class GenericModel(nn.Module):
 
         implicit_functions = self._implicit_functions
 
+        renderer_kwargs = {}
+        if getattr(self._renderer, "flax_module", None) is not None:
+            renderer_kwargs["lstm_module"] = self._renderer_flax_module
+        if self.view_pooler_enabled and image_rgb is not None:
+            # keep the extractor's input channel count fixed across calls:
+            # a missing mask becomes all-ones
+            masks_in = fg_probability
+            if masks_in is None:
+                masks_in = jnp.ones(
+                    image_rgb.shape[:-1] + (1,), image_rgb.dtype
+                )
+            img_feats = self._image_feature_extractor(
+                image_rgb, masks=masks_in
+            )
+            img_feats = {
+                k: v for k, v in img_feats.items() if k != "global_code"
+            }
+            pooler = self._view_pooler
+            src_camera = camera
+
+            def fun_viewpool(pts):
+                # pts (..., 3) -> (..., C_agg): pooled source-view features
+                flat = pts.reshape(1, -1, 3)
+                pooled = pooler(
+                    pts=flat, camera=src_camera, feats=img_feats, masks=None
+                )
+                agg = jnp.concatenate(
+                    [pooled[k] for k in sorted(pooled)], axis=-1
+                )
+                return agg.reshape(pts.shape[:-1] + (agg.shape[-1],))
+
+            renderer_kwargs["fun_viewpool"] = fun_viewpool
+            renderer_kwargs["camera"] = camera
+        if self.global_encoder_class_type:
+            renderer_kwargs["global_code"] = self._global_encoder(
+                sequence_name=kwargs.get("sequence_name"),
+                frame_timestamp=kwargs.get("frame_timestamp"),
+            )
+
         if (
             evaluation_mode == EvaluationMode.EVALUATION
             and self.chunk_size_grid > 0
         ):
             rendered = self._render_chunked(
-                ray_bundle, implicit_functions, evaluation_mode, k_render
+                ray_bundle,
+                implicit_functions,
+                evaluation_mode,
+                k_render,
+                renderer_kwargs,
             )
         else:
-            renderer_kwargs = {}
-            if getattr(self._renderer, "flax_module", None) is not None:
-                renderer_kwargs["lstm_module"] = self._renderer_flax_module
             rendered = self._renderer(
                 ray_bundle,
                 implicit_functions=implicit_functions,
@@ -182,7 +251,8 @@ class GenericModel(nn.Module):
 
     # ------------------------------------------------------------------ #
     def _render_chunked(
-        self, ray_bundle, implicit_functions, evaluation_mode, key
+        self, ray_bundle, implicit_functions, evaluation_mode, key,
+        renderer_kwargs=None,
     ):
         """Full-grid rendering in ray chunks (reference _render :597)."""
         B = ray_bundle.origins.shape[0]
@@ -214,15 +284,12 @@ class GenericModel(nn.Module):
             rb = ImplicitronRayBundle(
                 origins=o, directions=d, lengths=l, xys=xy
             )
-            renderer_kwargs = {}
-            if getattr(self._renderer, "flax_module", None) is not None:
-                renderer_kwargs["lstm_module"] = self._renderer_flax_module
             out = self._renderer(
                 rb,
                 implicit_functions=implicit_functions,
                 evaluation_mode=evaluation_mode,
                 key=key,
-                **renderer_kwargs,
+                **(renderer_kwargs or {}),
             )
             return out.features, out.depths, out.masks
 

@@ -6,6 +6,7 @@ Parity: reference implicitron/models/global_encoder/autodecoder.py
 
 from __future__ import annotations
 
+import zlib
 from typing import List, Optional, Union
 
 import flax.linen as nn
@@ -33,11 +34,20 @@ class Autodecoder(nn.Module):
                 self.init_scale / max(self.encoding_dim, 1) ** 0.5
             ),
         )
-        if self.ignore_input:
+        if self.ignore_input or x is None:
+            # single-scene use (e.g. the overfit trainer) provides no
+            # sequence names; everything shares code 0
             idx = jnp.zeros((1,), jnp.int32)
         elif isinstance(x, (list, tuple)):
+            # stable across processes — python's hash() is randomized per
+            # run, which would remap sequences to different codes after a
+            # checkpoint resume
             idx = jnp.asarray(
-                [hash(s) % self.n_instances for s in x], jnp.int32
+                [
+                    zlib.crc32(s.encode("utf8")) % self.n_instances
+                    for s in x
+                ],
+                jnp.int32,
             )
         else:
             idx = jnp.asarray(x, jnp.int32) % self.n_instances

@@ -77,6 +77,22 @@ class NeuralRadianceFieldBase(nn.Module, ImplicitFunctionBase):
     ):
         pts = ray_bundle_to_ray_points(ray_bundle)
         embeds = self.harmonic_embedding_xyz(pts)
+        if fun_viewpool is not None:
+            # source-view pooled features at each 3D point (reference
+            # neural_radiance_field.py:106-116: concatenated to the
+            # harmonic embedding before the trunk)
+            embeds = jnp.concatenate([embeds, fun_viewpool(pts)], axis=-1)
+        if global_code is not None:
+            # (B, D) broadcast over the ray/point dims
+            g = global_code.reshape(
+                global_code.shape[:1]
+                + (1,) * (embeds.ndim - 2)
+                + global_code.shape[-1:]
+            )
+            g = jnp.broadcast_to(
+                g, embeds.shape[:-1] + (global_code.shape[-1],)
+            )
+            embeds = jnp.concatenate([embeds, g], axis=-1)
         features = self.xyz_encoder(embeds, embeds)
         raw_density = self.density_layer(features)
         densities = 1.0 - jnp.exp(-nn.softplus(raw_density))

@@ -68,9 +68,17 @@ class MultiPassEmissionAbsorptionRenderer(BaseRenderer):
             else 0.0
         )
 
+        fn_kwargs = {
+            k: kwargs[k]
+            for k in ("fun_viewpool", "camera", "global_code")
+            if kwargs.get(k) is not None
+        }
+
         def render_pass(fn, bundle):
             densities, features = fn(
-                ray_bundle=bundle, density_noise_std=density_noise_std
+                ray_bundle=bundle,
+                density_noise_std=density_noise_std,
+                **fn_kwargs,
             )
             return self._raymarcher(
                 densities,

@@ -335,3 +335,94 @@ class TestJsonIndexDataset:
         )
         assert len(ds2) == 2
         assert all(ds2[i].sequence_name == "s1" for i in range(2))
+
+
+class TestViewPooledGenericModel:
+    def test_nerformer_style_forward_and_grads(self):
+        model = GenericModel(
+            render_image_width=16, render_image_height=16, num_passes=1,
+            chunk_size_grid=64,
+            raysampler_args=dict(
+                n_pts_per_ray_training=4, n_pts_per_ray_evaluation=4,
+                n_rays_per_image_sampled_from_mask=16, scene_extent=3.0,
+            ),
+            implicit_function_class_type="NeRFormerImplicitFunction",
+            implicit_function_args=dict(
+                n_hidden_neurons_xyz=16, n_hidden_neurons_dir=8,
+                n_layers_xyz=2, append_xyz=(1,),
+            ),
+            view_pooler_enabled=True,
+            image_feature_extractor_args=dict(
+                stages=(1,), base_features=8, add_images=False
+            ),
+            view_pooler_args=dict(
+                feature_aggregator_args=dict(reduction_functions=("avg",))
+            ),
+            global_encoder_class_type="SequenceAutodecoder",
+            global_encoder_args=dict(encoding_dim=4, n_instances=8),
+        )
+        cams, img, fg = _inputs()
+        params = model.init(
+            jax.random.PRNGKey(0), image_rgb=img, camera=cams,
+            fg_probability=fg, evaluation_mode=EvaluationMode.TRAINING,
+            sequence_name=["seq_x"],
+        )
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        assert any(
+            "_image_feature_extractor" in str(p) for p, _ in flat
+        ), "feature extractor params missing"
+        assert any(
+            "_global_encoder" in str(p) for p, _ in flat
+        ), "global encoder params missing"
+
+        def loss_fn(p):
+            return model.apply(
+                p, image_rgb=img, camera=cams, fg_probability=fg,
+                evaluation_mode=EvaluationMode.TRAINING,
+                sequence_name=["seq_x"],
+            )["objective"]
+
+        assert np.isfinite(float(loss_fn(params)))
+        g = jax.grad(loss_fn)(params)
+        gflat = jax.tree_util.tree_flatten_with_path(g)[0]
+        fe_g = [v for p, v in gflat if "_image_feature_extractor" in str(p)]
+        ge_g = [v for p, v in gflat if "_global_encoder" in str(p)]
+        assert fe_g and any(float(jnp.abs(v).max()) > 0 for v in fe_g)
+        assert ge_g and any(float(jnp.abs(v).max()) > 0 for v in ge_g)
+        assert all(
+            bool(np.isfinite(np.asarray(l)).all())
+            for l in jax.tree_util.tree_leaves(g)
+        )
+
+    def test_eval_full_grid_view_pooled(self):
+        model = GenericModel(
+            render_image_width=8, render_image_height=8, num_passes=1,
+            chunk_size_grid=32,
+            raysampler_args=dict(
+                n_pts_per_ray_training=4, n_pts_per_ray_evaluation=4,
+                n_rays_per_image_sampled_from_mask=8, scene_extent=3.0,
+            ),
+            implicit_function_args=dict(
+                n_hidden_neurons_xyz=8, n_hidden_neurons_dir=4,
+                n_layers_xyz=2, append_xyz=(1,),
+            ),
+            view_pooler_enabled=True,
+            image_feature_extractor_args=dict(
+                stages=(1,), base_features=8, add_images=False
+            ),
+            view_pooler_args=dict(
+                feature_aggregator_args=dict(reduction_functions=("avg",))
+            ),
+        )
+        cams, img, fg = _inputs()
+        img = img[:, :8, :8]
+        fg = fg[:, :8, :8]
+        params = model.init(
+            jax.random.PRNGKey(0), image_rgb=img, camera=cams,
+            fg_probability=fg, evaluation_mode=EvaluationMode.TRAINING,
+        )
+        preds = model.apply(
+            params, image_rgb=img, camera=cams,
+            evaluation_mode=EvaluationMode.EVALUATION,
+        )
+        assert preds["images_render"].shape == (1, 8, 8, 3)
