@@ -32,6 +32,8 @@ class NeuralRadianceFieldBase(nn.Module, ImplicitFunctionBase):
     color_dim: int = 3
     n_layers_xyz: int = 8
     append_xyz: Tuple[int, ...] = (5,)
+    use_transformer_trunk: bool = False
+    transformer_dim_down_factor: float = 1.0
 
     def setup(self):
         self.harmonic_embedding_xyz = HarmonicEmbedding(
@@ -40,13 +42,27 @@ class NeuralRadianceFieldBase(nn.Module, ImplicitFunctionBase):
         self.harmonic_embedding_dir = HarmonicEmbedding(
             self.n_harmonic_functions_dir
         )
-        self.xyz_encoder = MLPWithInputSkips(
-            n_layers=self.n_layers_xyz,
-            output_dim=self.n_hidden_neurons_xyz,
-            skip_dim=self.harmonic_embedding_xyz.get_output_dim(3),
-            hidden_dim=self.n_hidden_neurons_xyz,
-            input_skips=self.append_xyz,
-        )
+        if self.use_transformer_trunk:
+            # NeRFormer: attention over ray points (reference :259 +
+            # decoding_functions.py:302)
+            from .decoding_functions import TransformerWithInputSkips
+
+            self.xyz_encoder = TransformerWithInputSkips(
+                n_layers=self.n_layers_xyz,
+                output_dim=self.n_hidden_neurons_xyz,
+                skip_dim=self.harmonic_embedding_xyz.get_output_dim(3),
+                hidden_dim=self.n_hidden_neurons_xyz,
+                input_skips=self.append_xyz,
+                dim_down_factor=self.transformer_dim_down_factor,
+            )
+        else:
+            self.xyz_encoder = MLPWithInputSkips(
+                n_layers=self.n_layers_xyz,
+                output_dim=self.n_hidden_neurons_xyz,
+                skip_dim=self.harmonic_embedding_xyz.get_output_dim(3),
+                hidden_dim=self.n_hidden_neurons_xyz,
+                input_skips=self.append_xyz,
+            )
         self.intermediate_linear = nn.Dense(self.n_hidden_neurons_xyz)
         self.density_layer = nn.Dense(1)
         self.color_layer_hidden = nn.Dense(self.n_hidden_neurons_dir)
@@ -102,12 +118,15 @@ class NeuralRadianceFieldBase(nn.Module, ImplicitFunctionBase):
 
 @registry.register
 class NeuralRadianceFieldImplicitFunction(NeuralRadianceFieldBase):
-    transformer_dim_down_factor: float = 1.0
+    pass
 
 
 @registry.register
 class NeRFormerImplicitFunction(NeuralRadianceFieldBase):
-    """NeRFormer: attention pooling over source views would go here; the
-    MLP trunk is shared with NeRF (reference :259)."""
+    """NeRFormer: transformer trunk attending over ray points, with
+    view-pooled features concatenated to the input (reference :259).
+    The reference additionally attends over the un-aggregated source-view
+    axis; our GenericModel reduces views before the trunk."""
 
+    use_transformer_trunk: bool = True
     transformer_dim_down_factor: float = 2.0

@@ -317,3 +317,44 @@ class TestImplicitronEvaluator:
             assert np.isfinite(r["psnr"])
         dumped = json.load(open(tmp_path / "results_test.json"))
         assert "aggregate" in dumped and len(dumped["results"]) == len(results)
+
+
+class TestTransformerTrunk:
+    def test_permutation_equivariance(self):
+        """Self-attention over ray points with no positional encoding must
+        be permutation-equivariant along the point axis."""
+        from pytorch3d_tpu.implicitron.models.implicit_function.decoding_functions import (
+            TransformerWithInputSkips,
+        )
+
+        trunk = TransformerWithInputSkips(
+            n_layers=2, output_dim=16, skip_dim=12, hidden_dim=16,
+            input_skips=(1,),
+        )
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (2, 3, 7, 12))  # (B, rays, pts, C)
+        params = trunk.init(key, x, x)
+        y = trunk.apply(params, x, x)
+        assert y.shape == (2, 3, 7, 16)
+        perm = jnp.asarray([3, 0, 6, 1, 5, 2, 4])
+        y_perm = trunk.apply(params, x[:, :, perm], x[:, :, perm])
+        assert np.allclose(np.asarray(y[:, :, perm]), np.asarray(y_perm), atol=1e-5)
+
+    def test_points_interact(self):
+        """Unlike the MLP trunk, changing one point's input must change the
+        other points' outputs (attention mixes the point axis)."""
+        from pytorch3d_tpu.implicitron.models.implicit_function.decoding_functions import (
+            TransformerWithInputSkips,
+        )
+
+        trunk = TransformerWithInputSkips(
+            n_layers=1, output_dim=8, skip_dim=6, hidden_dim=8, input_skips=()
+        )
+        key = jax.random.PRNGKey(1)
+        x = jax.random.normal(key, (1, 1, 5, 6))
+        params = trunk.init(key, x, x)
+        y0 = trunk.apply(params, x, x)
+        x2 = x.at[0, 0, 0].add(1.0)
+        y1 = trunk.apply(params, x2, x2)
+        # output at point 3 changed although only point 0's input changed
+        assert not np.allclose(np.asarray(y0[0, 0, 3]), np.asarray(y1[0, 0, 3]))
