@@ -358,3 +358,59 @@ class TestTransformerTrunk:
         y1 = trunk.apply(params, x2, x2)
         # output at point 3 changed although only point 0's input changed
         assert not np.allclose(np.asarray(y0[0, 0, 3]), np.asarray(y1[0, 0, 3]))
+
+
+class TestImplicitronDataSource:
+    def test_json_provider_with_subset_lists(self, tmp_path):
+        import gzip
+        import json
+
+        from pytorch3d_tpu.implicitron.dataset.data_source import (
+            ImplicitronDataSource,
+        )
+
+        frames = [
+            dict(sequence_name="s1", frame_number=i, image=dict(path=f"{i}.png"))
+            for i in range(6)
+        ]
+        fa = str(tmp_path / "fa.jgz")
+        with gzip.open(fa, "wt", encoding="utf8") as f:
+            json.dump(frames, f)
+        subsets = str(tmp_path / "subsets.json")
+        with open(subsets, "w") as f:
+            json.dump(
+                {
+                    "train": [["s1", i, ""] for i in (0, 1, 2, 3)],
+                    "val": [["s1", 4, ""]],
+                    "test": [["s1", 5, ""]],
+                },
+                f,
+            )
+        src = ImplicitronDataSource(
+            dataset_map_provider_class_type="JsonIndexDatasetMapProvider",
+            dataset_map_provider_args=dict(
+                frame_annotations_file=fa,
+                subset_lists_file=subsets,
+                load_images=False,
+            ),
+        )
+        dsmap, loaders = src.get_datasets_and_dataloaders()
+        assert len(dsmap.train) == 4
+        assert len(dsmap.val) == 1
+        assert len(dsmap.test) == 1
+        # loaders iterate FrameData batches
+        batch = next(iter(loaders["val"]))
+        assert batch.sequence_name[0] == "s1"
+
+    def test_rendered_mesh_provider_default(self):
+        from pytorch3d_tpu.implicitron.dataset.data_source import (
+            ImplicitronDataSource,
+        )
+
+        src = ImplicitronDataSource(
+            dataset_map_provider_args=dict(num_views=4, resolution=16)
+        )
+        dsmap, loaders = src.get_datasets_and_dataloaders()
+        assert len(dsmap.train) >= 3
+        b = next(iter(loaders["train"]))
+        assert b.image_rgb.shape[-1] == 3
