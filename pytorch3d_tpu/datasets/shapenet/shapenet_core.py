@@ -80,21 +80,33 @@ class ShapeNetBase:
         meshes = []
         for i in idxs:
             data = self[i]
-            tex = (
-                TexturesAtlas.create(data["textures"][None])
-                if data.get("textures") is not None
-                else None
-            )
+            if data.get("textures") is not None:
+                tex = TexturesAtlas.create(data["textures"][None])
+            else:
+                # untextured models render white (reference behavior)
+                from ...renderer.mesh.textures import TexturesVertex
+
+                tex = TexturesVertex.create(
+                    jnp.ones_like(data["verts"])[None]
+                )
             meshes.append(
                 Meshes.create([data["verts"]], [data["faces"]], textures=tex)
             )
         mesh_batch = join_meshes_as_batch(meshes)
         if cameras is None:
-            R, T = look_at_view_transform(dist=1.0)
+            R, T = look_at_view_transform(
+                dist=kwargs.pop("dist", 1.0),
+                elev=kwargs.pop("elev", 0.0),
+                azim=kwargs.pop("azim", 0.0),
+            )
             cameras = FoVPerspectiveCameras.create(R=R, T=T)
         renderer = MeshRenderer(
             MeshRasterizer(
-                cameras, raster_settings or RasterizationSettings(image_size=137)
+                cameras,
+                raster_settings
+                or RasterizationSettings(
+                    image_size=kwargs.pop("image_size", 137)
+                ),
             ),
             HardPhongShader(
                 cameras=cameras,
