@@ -115,3 +115,61 @@ class TestGlbRoundTrip:
         )
         lf = np.asarray(loaded.faces_padded()[0])
         assert np.array_equal(lf[: faces.shape[0]], np.asarray(faces))
+
+
+class TestR2N2:
+    def _make_tree(self, root):
+        syn = "04379243"
+        shapenet = os.path.join(root, "shapenet")
+        r2n2 = os.path.join(root, "r2n2")
+        for model in ("m0", "m1"):
+            d = os.path.join(shapenet, syn, model)
+            os.makedirs(d)
+            with open(os.path.join(d, "model.obj"), "w") as f:
+                f.write(CUBE_OBJ)
+            rdir = os.path.join(r2n2, "ShapeNetRendering", syn, model, "rendering")
+            os.makedirs(rdir)
+            from PIL import Image
+
+            for v in range(2):
+                Image.fromarray(
+                    np.full((16, 16, 3), 40 * (v + 1), np.uint8)
+                ).save(os.path.join(rdir, "%02d.png" % v))
+            with open(os.path.join(rdir, "rendering_metadata.txt"), "w") as f:
+                f.write("30 20 0 0.7 25\n60 10 0 0.8 25\n")
+            vdir = os.path.join(r2n2, "ShapeNetVoxels", syn, model)
+            os.makedirs(vdir)
+            TestBinvox()._write_binvox(os.path.join(vdir, "model.binvox"))
+        splits = os.path.join(root, "splits.json")
+        with open(splits, "w") as f:
+            json.dump({"train": {syn: {"m0": 0, "m1": 1}}, "test": {syn: {}}}, f)
+        return shapenet, r2n2, splits, syn
+
+    def test_getitem_views_and_voxels(self, tmp_path):
+        from pytorch3d_tpu.datasets import R2N2
+
+        shapenet, r2n2, splits, syn = self._make_tree(str(tmp_path))
+        ds = R2N2(
+            "train", shapenet, r2n2, splits,
+            return_voxels=True, load_textures=False,
+        )
+        assert len(ds) == 2
+        item = ds[0]
+        assert item["verts"].shape == (8, 3)
+        assert item["images"].shape == (2, 16, 16, 3)
+        assert item["R"].shape == (2, 3, 3)
+        assert item["K"].shape == (2, 4, 4)
+        assert item["voxel_coords"].shape == (4, 3)
+        # single-view fetch
+        item1 = ds[(1, [1])]
+        assert item1["images"].shape == (1, 16, 16, 3)
+        assert abs(float(item1["images"][0, 0, 0, 0]) - 80 / 255) < 1e-3
+
+    def test_collate(self, tmp_path):
+        from pytorch3d_tpu.datasets import R2N2, collate_batched_R2N2
+
+        shapenet, r2n2, splits, _ = self._make_tree(str(tmp_path))
+        ds = R2N2("train", shapenet, r2n2, splits, load_textures=False)
+        batch = collate_batched_R2N2([ds[0], ds[1]])
+        assert batch["mesh"].verts_padded().shape[0] == 2
+        assert batch["images"].shape[0] == 2
