@@ -414,3 +414,51 @@ class TestImplicitronDataSource:
         assert len(dsmap.train) >= 3
         b = next(iter(loaders["train"]))
         assert b.image_rgb.shape[-1] == 3
+
+
+class TestRenderFlyaround:
+    def test_writes_video(self, tmp_path):
+        from pytorch3d_tpu.implicitron.dataset.rendered_mesh_dataset_map_provider import (
+            RenderedMeshDatasetMapProvider,
+        )
+        from pytorch3d_tpu.implicitron.models.generic_model import GenericModel
+        from pytorch3d_tpu.implicitron.models.renderer.base import EvaluationMode
+        from pytorch3d_tpu.implicitron.models.visualization.render_flyaround import (
+            render_flyaround,
+        )
+
+        provider = RenderedMeshDatasetMapProvider(num_views=6, resolution=16)
+        train = provider.get_dataset_map()["train"]
+        model = GenericModel(
+            render_image_width=8, render_image_height=8, num_passes=1,
+            chunk_size_grid=32,
+            raysampler_args=dict(
+                n_pts_per_ray_training=4, n_pts_per_ray_evaluation=4,
+                n_rays_per_image_sampled_from_mask=8, scene_extent=3.0,
+            ),
+            implicit_function_args=dict(
+                n_hidden_neurons_xyz=8, n_hidden_neurons_dir=4,
+                n_layers_xyz=2, append_xyz=(1,),
+            ),
+        )
+        f0 = train[0]
+        params = model.init(
+            jax.random.PRNGKey(0), image_rgb=f0.image_rgb, camera=f0.camera,
+            fg_probability=f0.fg_probability,
+            evaluation_mode=EvaluationMode.TRAINING,
+        )
+
+        class _DS:
+            def __len__(self):
+                return len(train)
+
+            def __getitem__(self, i):
+                return train[i]
+
+        out = str(tmp_path / "fly.gif")
+        path = render_flyaround(
+            _DS(), None, model, params, out, n_flyaround_poses=3, fps=2
+        )
+        import os as _os
+
+        assert _os.path.isfile(path) and _os.path.getsize(path) > 0
