@@ -227,3 +227,87 @@ class TestRasterizeMC:
             assert on.sum() > 0
             d = np.asarray(dep[ci, ..., 0])[on] / np.asarray(msk[ci, ..., 0])[on]
             assert np.allclose(d, 2.0, atol=1e-3)
+
+
+class TestOpenCVConversions:
+    """reference renderer/camera_conversions.py — (R, t, K) round trip and
+    projection agreement with an explicit OpenCV pinhole projection."""
+
+    def _opencv_setup(self):
+        from pytorch3d_tpu.transforms import axis_angle_to_matrix
+
+        key = jax.random.PRNGKey(0)
+        R = axis_angle_to_matrix(jnp.asarray([[0.1, -0.2, 0.15]]))
+        tvec = jnp.asarray([[0.2, -0.1, 3.0]])
+        K = jnp.asarray(
+            [[[120.0, 0.0, 33.0], [0.0, 110.0, 28.0], [0.0, 0.0, 1.0]]]
+        )
+        image_size = jnp.asarray([[60, 70]])  # (h, w)
+        return R, tvec, K, image_size
+
+    def test_round_trip(self):
+        from pytorch3d_tpu.renderer.camera_conversions import (
+            cameras_from_opencv_projection,
+            opencv_from_cameras_projection,
+        )
+
+        R, tvec, K, hw = self._opencv_setup()
+        cams = cameras_from_opencv_projection(R, tvec, K, hw)
+        R2, t2, K2 = opencv_from_cameras_projection(cams, hw)
+        assert np.allclose(np.asarray(R), np.asarray(R2), atol=1e-5)
+        assert np.allclose(np.asarray(tvec), np.asarray(t2), atol=1e-5)
+        assert np.allclose(np.asarray(K), np.asarray(K2), atol=1e-4)
+
+    def test_projection_matches_opencv_pinhole(self):
+        from pytorch3d_tpu.renderer.camera_conversions import (
+            cameras_from_opencv_projection,
+        )
+
+        R, tvec, K, hw = self._opencv_setup()
+        pts = jnp.asarray([[[0.3, -0.2, 1.0], [-0.4, 0.5, 2.0], [0.0, 0.0, 1.5]]])
+        # explicit OpenCV projection: x_cam = R @ x + t; pix = K @ (x/z)
+        cam_pts = jnp.einsum("nij,npj->npi", R, pts) + tvec[:, None]
+        pix_cv = jnp.einsum("nij,npj->npi", K, cam_pts / cam_pts[..., 2:])[..., :2]
+        # ours: project to NDC then NDC -> screen
+        cams = cameras_from_opencv_projection(R, tvec, K, hw)
+        ndc = cams.transform_points(pts)[..., :2]
+        h, w = 60.0, 70.0
+        s = min(h, w) / 2.0
+        px = -ndc[..., 0] * s + w / 2.0
+        py = -ndc[..., 1] * s + h / 2.0
+        ours = jnp.stack([px, py], axis=-1)
+        assert np.allclose(np.asarray(ours), np.asarray(pix_cv), atol=1e-3)
+
+
+class TestSoftGouraud:
+    def test_renders(self):
+        from pytorch3d_tpu.renderer import (
+            MeshRasterizer,
+            MeshRenderer,
+            PointLights,
+            RasterizationSettings,
+        )
+        from pytorch3d_tpu.renderer.mesh.shader import SoftGouraudShader
+        from pytorch3d_tpu.renderer.mesh.textures import TexturesVertex
+        from pytorch3d_tpu.utils import ico_sphere
+
+        mesh = ico_sphere(2)
+        mesh = mesh.replace(
+            textures=TexturesVertex.create(
+                jnp.ones_like(mesh.verts_padded()) * 0.7
+            )
+        )
+        R, T = look_at_view_transform(dist=2.7, elev=10.0, azim=20.0)
+        cams = FoVPerspectiveCameras.create(R=R, T=T)
+        renderer = MeshRenderer(
+            MeshRasterizer(
+                cams, RasterizationSettings(image_size=48, bin_size=0)
+            ),
+            SoftGouraudShader(
+                cameras=cams,
+                lights=PointLights.create(location=[[0.0, 1.0, -2.0]]),
+            ),
+        )
+        img = np.asarray(renderer(mesh))[0]
+        assert (img[..., 3] > 0.1).sum() > 200
+        assert np.isfinite(img).all()
