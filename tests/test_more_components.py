@@ -311,3 +311,122 @@ class TestSoftGouraud:
         img = np.asarray(renderer(mesh))[0]
         assert (img[..., 3] > 0.1).sum() > 200
         assert np.isfinite(img).all()
+
+
+class TestDepthShadersAndFragments:
+    def _setup(self):
+        from pytorch3d_tpu.renderer import (
+            MeshRasterizer,
+            RasterizationSettings,
+        )
+        from pytorch3d_tpu.utils import ico_sphere
+
+        mesh = ico_sphere(2)
+        R, T = look_at_view_transform(dist=2.7)
+        cams = FoVPerspectiveCameras.create(R=R, T=T, znear=1.0, zfar=10.0)
+        rast = MeshRasterizer(
+            cams, RasterizationSettings(image_size=32, bin_size=0)
+        )
+        return mesh, cams, rast
+
+    def test_hard_and_soft_depth(self):
+        from pytorch3d_tpu.renderer import (
+            HardDepthShader,
+            MeshRenderer,
+            SoftDepthShader,
+        )
+
+        mesh, cams, rast = self._setup()
+        hard = np.asarray(
+            MeshRenderer(rast, HardDepthShader(cameras=cams))(mesh)
+        )[0]
+        # sphere of radius ~1 at distance 2.7 -> front surface ~1.7
+        assert 1.4 < hard[16, 16, 0] < 2.1
+        assert hard[0, 0, 0] > hard[16, 16, 0]  # background farther
+        # soft depth sigmoid-blends with the zfar background: center depth
+        # is still strictly closer than the pure-background corner
+        soft = np.asarray(
+            MeshRenderer(rast, SoftDepthShader(cameras=cams))(mesh)
+        )[0]
+        assert soft[16, 16, 0] < soft[0, 0, 0]
+        assert soft[16, 16, 0] > hard[16, 16, 0]  # blending pulls it back
+
+    def test_renderer_with_fragments(self):
+        from pytorch3d_tpu.renderer import (
+            HardPhongShader,
+            MeshRendererWithFragments,
+            PointLights,
+        )
+
+        from pytorch3d_tpu.renderer.mesh.textures import TexturesVertex
+
+        mesh, cams, rast = self._setup()
+        mesh = mesh.replace(
+            textures=TexturesVertex.create(
+                jnp.ones_like(mesh.verts_padded()) * 0.6
+            )
+        )
+        renderer = MeshRendererWithFragments(
+            rast,
+            HardPhongShader(
+                cameras=cams, lights=PointLights.create(location=[[0, 1, -2]])
+            ),
+        )
+        images, fragments = renderer(mesh)
+        assert images.shape[-1] == 4
+        assert fragments.pix_to_face.shape[:3] == (1, 32, 32)
+        covered = np.asarray(fragments.pix_to_face[..., 0] >= 0)
+        assert covered.sum() > 100
+        # image coverage agrees with fragment coverage
+        assert np.array_equal(covered, np.asarray(images[..., 3] > 0)[0] if covered.ndim == 2 else covered)
+
+
+class TestNdcScreenTransforms:
+    def test_round_trip(self):
+        from pytorch3d_tpu.renderer import (
+            get_ndc_to_screen_transform,
+            get_screen_to_ndc_transform,
+        )
+
+        R, T = look_at_view_transform(dist=2.7)
+        cams = FoVPerspectiveCameras.create(R=R, T=T)
+        size = ((48, 64),)  # (h, w)
+        pts = jnp.asarray([[[0.25, -0.5, 1.0], [-0.8, 0.3, 2.0]]])
+        to_screen = get_ndc_to_screen_transform(
+            cams, with_xyflip=True, image_size=size
+        )
+        back = get_screen_to_ndc_transform(
+            cams, with_xyflip=True, image_size=size
+        )
+        screen = to_screen.transform_points(pts)
+        ndc_again = back.transform_points(screen)
+        assert np.allclose(np.asarray(ndc_again), np.asarray(pts), atol=1e-5)
+        # NDC origin maps to image center
+        center = to_screen.transform_points(jnp.zeros((1, 1, 3)))
+        assert np.allclose(np.asarray(center[0, 0, :2]), [32.0, 24.0], atol=1e-4)
+
+
+class TestAddPointcloudsToVolumes:
+    def test_trilinear_splat(self):
+        from pytorch3d_tpu.ops import add_pointclouds_to_volumes
+        from pytorch3d_tpu.structures import Pointclouds, Volumes
+
+        # one point at the volume center with a red feature
+        pts = Pointclouds.create(
+            jnp.zeros((1, 1, 3)),
+            features=jnp.asarray([[[1.0, 0.0, 0.0]]]),
+        )
+        vols = Volumes.create(
+            densities=jnp.zeros((1, 1, 8, 8, 8)),
+            features=jnp.zeros((1, 3, 8, 8, 8)),
+            voxel_size=2.0 / 8,
+        )
+        out = add_pointclouds_to_volumes(pts, vols)
+        d = np.asarray(out.densities())
+        f = np.asarray(out.features())
+        assert d.sum() > 0.5  # mass deposited
+        # red mass lands near the center voxels only
+        red = f[0, 0]
+        com = np.array(np.unravel_index(np.argmax(red), red.shape))
+        assert np.all(np.abs(com - 3.5) <= 1.0)
+        assert f[0, 1].max() == 0.0  # no green anywhere
