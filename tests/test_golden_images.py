@@ -197,3 +197,69 @@ class TestJoinSceneTextures:
         assert (lr.sum() > 50 and rg.sum() > 50 and lg.sum() == 0 and rr.sum() == 0) or (
             lg.sum() > 50 and rr.sum() > 50 and lr.sum() == 0 and rg.sum() == 0
         )
+
+
+class TestCameraPoseOptimization:
+    """The classic pytorch3d tutorial workflow: recover a camera pose by
+    differentiating a soft silhouette through the rasterizer
+    (reference docs/tutorials/camera_position_optimization...)."""
+
+    def test_recover_azimuth(self):
+        import jax
+        import optax
+
+        from pytorch3d_tpu.renderer import (
+            BlendParams,
+            MeshRasterizer,
+            MeshRenderer,
+            RasterizationSettings,
+            SoftSilhouetteShader,
+            look_at_view_transform,
+        )
+        from pytorch3d_tpu.utils import ico_sphere
+
+        mesh = ico_sphere(2)
+        # squash the sphere so azimuth is observable in the silhouette
+        mesh = mesh.update_padded(
+            mesh.verts_padded() * jnp.asarray([1.0, 0.35, 0.7])
+        )
+
+        def render_at(azim_deg):
+            R, T = look_at_view_transform(dist=2.7, elev=20.0, azim=azim_deg)
+            cams = FoVPerspectiveCameras.create(R=R, T=T)
+            renderer = MeshRenderer(
+                MeshRasterizer(
+                    cams,
+                    RasterizationSettings(
+                        image_size=48,
+                        bin_size=0,
+                        blur_radius=2e-3,
+                        faces_per_pixel=16,
+                    ),
+                ),
+                SoftSilhouetteShader(
+                    blend_params=BlendParams(sigma=1e-3, gamma=1e-3)
+                ),
+            )
+            return renderer(mesh)[..., 3]
+
+        target = render_at(10.0)
+
+        def loss_fn(azim):
+            d = render_at(azim) - target
+            return jnp.mean(d * d)
+
+        loss_and_grad = jax.jit(jax.value_and_grad(loss_fn))
+        azim = jnp.asarray(45.0)
+        opt = optax.adam(2.0)
+        state = opt.init(azim)
+        l0 = None
+        for _ in range(40):
+            l, g = loss_and_grad(azim)
+            if l0 is None:
+                l0 = float(l)
+            upd, state = opt.update(g, state)
+            azim = optax.apply_updates(azim, upd)
+        assert np.isfinite(float(l))
+        assert float(l) < 0.25 * l0, (l0, float(l))
+        assert abs(float(azim) - 10.0) < 8.0, float(azim)
