@@ -1,0 +1,162 @@
+"""Roofline model for the TPU rasterizer kernels.
+
+The reference externalizes perf to fvcore benchmarks with no model
+(SURVEY §5); we go further: an analytic VPU-op count of the fine-kernel
+inner loop plus *measured* per-chip peaks, so every benchmark row reports
+achieved fraction-of-roofline (BASELINE.json: >=70% on the fine kernel).
+
+Peaks are measured, not quoted: a saturating Pallas FMA microkernel gives
+attainable VPU ops/s on the actual chip (paper TFLOPs numbers conflate
+MXU+VPU and are not achievable by elementwise code).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# --------------------------------------------------------------------------- #
+# Measured VPU peak
+# --------------------------------------------------------------------------- #
+
+
+def _vpu_kernel(x_ref, o_ref, *, n_iter: int):
+    """Dependent-chain-free FMA storm: 8 independent accumulators so the
+    VPU pipeline stays full; ~n_iter*16 flops per element."""
+    x = x_ref[...]
+    accs = [x + float(i) for i in range(8)]
+
+    def body(i, accs):
+        a0, a1, a2, a3, a4, a5, a6, a7 = accs
+        a0 = a0 * 1.000001 + 0.5
+        a1 = a1 * 0.999999 + 0.25
+        a2 = a2 * 1.000002 + 0.125
+        a3 = a3 * 0.999998 + 0.0625
+        a4 = a4 * 1.000003 + 0.03125
+        a5 = a5 * 0.999997 + 0.015625
+        a6 = a6 * 1.000004 + 0.0078125
+        a7 = a7 * 0.999996 + 0.00390625
+        return (a0, a1, a2, a3, a4, a5, a6, a7)
+
+    accs = jax.lax.fori_loop(0, n_iter, body, tuple(accs))
+    o_ref[...] = sum(accs)
+
+
+@functools.lru_cache(maxsize=1)
+def measured_vpu_peak_flops() -> float:
+    """Sustained fp32 VPU FLOP/s on the current default device.
+
+    Runs a compute-bound Pallas microkernel (fma chains over an (256, 1024)
+    VMEM block) and counts 2 flops per fma. Cached per process.
+    """
+    if jax.default_backend() != "tpu":
+        # CPU fallback: just return a nominal figure so ratios stay finite.
+        return 1e11
+    shape = (256, 1024)
+    n_iter = 2048
+    flops_per_elem = n_iter * 16  # 8 fmas * 2 flops per iter
+
+    kern = functools.partial(_vpu_kernel, n_iter=n_iter)
+    run = jax.jit(
+        lambda x: pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x)
+    )
+    x = jnp.ones(shape, jnp.float32)
+    jax.block_until_ready(run(x))
+    n_rep = 10
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        o = run(x)
+    jax.block_until_ready(o)
+    dt = (time.perf_counter() - t0) / n_rep
+    return shape[0] * shape[1] * flops_per_elem / dt
+
+
+@functools.lru_cache(maxsize=1)
+def measured_hbm_bandwidth() -> float:
+    """Sustained HBM bytes/s via a big jnp copy (read+write counted)."""
+    if jax.default_backend() != "tpu":
+        return 1e11
+    n = 256 * 1024 * 1024 // 4  # 256 MB
+    x = jnp.arange(n, dtype=jnp.float32)
+    run = jax.jit(lambda x: x * 1.0000001)
+    jax.block_until_ready(run(x))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        o = run(x)
+    jax.block_until_ready(o)
+    dt = (time.perf_counter() - t0) / 5
+    return 2 * n * 4 / dt
+
+
+# --------------------------------------------------------------------------- #
+# Fine-kernel op model
+# --------------------------------------------------------------------------- #
+
+
+def fine_kernel_flops_per_candidate(
+    faces_per_pixel: int,
+    blur: bool,
+    emit_fragments: bool = True,
+    perspective_correct: bool = False,
+) -> int:
+    """VPU flops per (face candidate x pixel) in _fine_kernel's body.
+
+    Counted off rasterize_pallas._fine_kernel (each mul/add/sub/div/cmp/
+    select = 1 flop; matches how the VPU retires them):
+      edge fns e0..e2 21, area+inv 9, w0..w2 3, pz 5, inside ~5,
+      seg-dists (blur or emit) ~70, covers/select ~7,
+      insertion chain: cmp + 2*channels selects per K slot.
+    """
+    f = 21 + 9 + 3 + 5 + 5 + 7
+    if perspective_correct:
+        f += 12
+    channels = 6 if emit_fragments else 2
+    if blur or emit_fragments:
+        f += 70
+    f += faces_per_pixel * (1 + 2 * channels)
+    return f
+
+
+def raster_candidates(
+    face_verts, valid, image_size: Tuple[int, int], blur_radius: float
+) -> int:
+    """Total candidate (face x pixel) evaluations the tile kernel performs:
+    sum over tiles of bbox-overlap count x pixels per tile."""
+    from pytorch3d_tpu.renderer.mesh.rasterize_pallas import (
+        _TILE_H,
+        _TILE_W,
+        _tile_overlap,
+    )
+
+    overlap, _, _ = _tile_overlap(
+        face_verts, valid, image_size, blur_radius, (_TILE_H, _TILE_W)
+    )
+    return int(jnp.sum(overlap.astype(jnp.int64))) * _TILE_H * _TILE_W
+
+
+def fine_kernel_roofline_s(
+    face_verts,
+    valid,
+    image_size: Tuple[int, int],
+    blur_radius: float,
+    faces_per_pixel: int,
+    emit_fragments: bool = True,
+    perspective_correct: bool = False,
+) -> float:
+    """Ideal seconds for the fine pass at measured VPU peak."""
+    cand = raster_candidates(face_verts, valid, image_size, blur_radius)
+    fl = fine_kernel_flops_per_candidate(
+        faces_per_pixel, blur_radius > 0, emit_fragments, perspective_correct
+    )
+    return cand * fl / measured_vpu_peak_flops()

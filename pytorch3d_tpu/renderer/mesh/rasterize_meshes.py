@@ -356,6 +356,16 @@ interpolate_fragments.defvjp(_interp_fwd, _interp_bwd)
 # --------------------------------------------------------------------------- #
 
 
+@functools.lru_cache(maxsize=1)
+def _supports_host_callbacks() -> bool:
+    """The axon_pjrt tunnel runtime rejects jax io/debug callbacks."""
+    try:
+        pv = jax.devices()[0].client.platform_version
+    except Exception:
+        return True
+    return "axon" not in str(pv)
+
+
 def rasterize_meshes(
     meshes,
     image_size: Union[int, Tuple[int, int]] = 256,
@@ -411,7 +421,27 @@ def rasterize_meshes(
     # naive XLA scan, mirroring the reference's bin_size=0 escape hatch).
     use_pallas = jax.default_backend() == "tpu" and bin_size != 0
     if use_pallas:
-        from .rasterize_pallas import rasterize_fragments_pallas
+        from .rasterize_pallas import (
+            rasterize_fragments_pallas,
+            required_faces_per_tile,
+        )
+
+        mft = max_faces_per_bin
+        exact_sized = False
+        if mft is None and not isinstance(fv_batched, jax.core.Tracer):
+            exact_sized = True
+            # Eager path: size the per-tile face lists to the exact batch
+            # maximum so the binning never drops a face (the CUDA path
+            # warns-and-drops at kMaxFacesPerBin instead,
+            # rasterize_coarse.cu:192-199).  Bucketed to powers of two to
+            # bound recompilation.
+            need = jax.vmap(
+                lambda v, m: required_faces_per_tile(
+                    v, m, (H, W), blur_radius
+                )
+            )(fv_batched, mask_batched)
+            need = max(int(jnp.max(need)), 1)
+            mft = 1 << (need - 1).bit_length()
 
         def one(fv1, m1):
             return rasterize_fragments_pallas(
@@ -423,10 +453,45 @@ def rasterize_meshes(
                 perspective_correct,
                 clip_barycentric_coords,
                 cull_backfaces,
-                max_faces_per_bin,
+                mft,
             )
 
         pix_local, zbuf, bary, dists = jax.vmap(one)(fv_batched, mask_batched)
+
+        if not exact_sized and _supports_host_callbacks():
+            # Heuristic-capacity path (jit or explicit max_faces_per_bin):
+            # detect + warn on overflow drops like the CUDA coarse kernel
+            # (rasterize_coarse.cu:192-199), async via debug.callback.
+            # (Skipped on runtimes without host callbacks, e.g. axon_pjrt;
+            # callers there can probe required_faces_per_tile eagerly.)
+            from .rasterize_pallas import _round_mft, required_faces_per_tile
+
+            eff = _round_mft(
+                mft if mft is not None else max(1024, F // 4), fv_batched.shape[1]
+            )
+            need = jnp.max(
+                jax.vmap(
+                    lambda v, m: required_faces_per_tile(v, m, (H, W), blur_radius)
+                )(fv_batched, mask_batched)
+            )
+
+            def _warn(n_need, n_cap):
+                import warnings
+
+                warnings.warn(
+                    f"rasterize_meshes: a tile needs {int(n_need)} face slots"
+                    f" but capacity is {int(n_cap)}; faces were dropped."
+                    " Pass a larger max_faces_per_bin (or call eagerly for"
+                    " exact sizing).",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+
+            jax.lax.cond(
+                need > eff,
+                lambda: jax.debug.callback(_warn, need, eff),
+                lambda: None,
+            )
     else:
         select = functools.partial(
             rasterize_topk_xla,

@@ -7,20 +7,27 @@ csrc/rasterize_meshes/rasterize_meshes.cu:630 fine kernel):
 1. **Binning (XLA)**: per-face NDC bounding boxes are intersected with
    image tiles; each tile gets a static-capacity list of overlapping faces
    (first-come order via the top_k(-idx) trick — no atomics, unlike the
-   CUDA bitmask+atomicAdd binning).  Overflowing faces are dropped exactly
-   like the CUDA path warns-and-drops (rasterize_coarse.cu:192-199); the
-   capacity heuristic mirrors rasterize_meshes.py:222.
-2. **Fine (Pallas)**: one grid step per image tile; the tile's pre-gathered
-   face data sits in VMEM laid out coordinate-major (9, MFT) so faces ride
-   the lane dimension, and a `fori_loop` walks them, evaluating edge
-   functions / z / blur-distance for the whole (T, T) pixel block on the
-   VPU and maintaining per-pixel ascending-z top-K buffers with a K-step
-   vectorized insertion chain (the register MinK of mink.cuh:41, but
-   SIMD-wide across the tile).
+   CUDA bitmask+atomicAdd binning).  Unlike round 1 (and unlike the CUDA
+   path, which warns-and-drops at kMaxFacesPerBin,
+   rasterize_coarse.cu:192-199), capacity is no longer SMEM-bound: the
+   per-tile lists are **streamed through SMEM in chunks** (see below), so
+   the public entry sizes the lists to the exact per-tile maximum
+   (`required_faces_per_tile`) and nothing is dropped.
+2. **Fine (Pallas)**: grid (n_tiles, n_chunks).  Each grid step DMAs one
+   (9, CHUNK) coordinate-major chunk of the tile's face list into SMEM
+   (faces ride the lane dimension; Pallas double-buffers the streamed
+   chunks automatically) and a `fori_loop` walks the live faces,
+   evaluating edge functions / z / blur-distance for the whole (32, 128)
+   pixel block on the VPU and maintaining per-pixel ascending-z top-K
+   buffers with a K-step vectorized insertion chain (the register MinK of
+   mink.cuh:41, but SIMD-wide across the tile).  The top-K state lives in
+   the output blocks (which stay VMEM-resident across the chunk grid
+   dimension) plus one VMEM scratch for the select-only path's z keys.
 
 Only the integer selection runs here; barycentrics/z/dists are recomputed
-differentiably outside (rasterize_meshes.interpolate_fragments), so no
-backward kernel is needed.
+differentiably outside (rasterize_meshes.interpolate_fragments) on the XLA
+path, while the fused path below pairs the select kernel with a per-tile
+gradient-reduction kernel (no scatter).
 """
 
 from __future__ import annotations
@@ -37,22 +44,36 @@ from .rasterize_meshes import kEpsilon, pix_to_non_square_ndc
 
 _TILE_H = 32  # pixel-tile rows (4 VPU sublane groups)
 _TILE_W = 128  # pixel-tile cols (one full lane dim)
+_CHUNK = 1024  # faces per streamed SMEM chunk (shared by select + grad)
+_MFT_HARD_CAP = 32768  # absolute per-tile face-list capacity (32 chunks)
 
 
-def _bin_faces(
+def _round_mft(mft: int, F: int) -> int:
+    """Round a per-tile capacity to the kernels' chunk granularity."""
+    mft = max(128, min(mft, F, _MFT_HARD_CAP))
+    if mft <= _CHUNK:
+        return -(-mft // 128) * 128
+    return min(-(-mft // _CHUNK) * _CHUNK, _MFT_HARD_CAP)
+
+
+def _heuristic_mft(F: int) -> int:
+    """Static capacity guess when the exact requirement is unavailable
+    (mirrors reference rasterize_meshes.py:222 max_faces_per_bin)."""
+    return _round_mft(int(min(F, max(1024, F // 4))), F)
+
+
+def _tile_overlap(
     face_verts: jnp.ndarray,  # (F, 3, 3)
     valid: jnp.ndarray,  # (F,)
     image_size: Tuple[int, int],
     blur_radius: float,
-    tile: int,
-    max_faces_per_tile: int,
+    tile: Tuple[int, int],
 ):
-    """Assign faces to tiles -> (n_tiles, 9, MFT) coord-major + ids + counts."""
+    """(n_tiles, F) bool face/tile conservative overlap + grid dims."""
     H, W = image_size
     tile_h, tile_w = tile
     n_ty = -(-H // tile_h)
     n_tx = -(-W // tile_w)
-    F = face_verts.shape[0]
     bl = float(blur_radius) ** 0.5 if blur_radius > 0 else 0.0
 
     x = face_verts[:, :, 0]
@@ -80,13 +101,67 @@ def _bin_faces(
         xmax[None, :] >= tx_min[:, None] - half_px
     )  # (n_tx, F)
     overlap = oy[:, None, :] & ox[None, :, :] & valid[None, None, :]
-    overlap = overlap.reshape(n_ty * n_tx, F)
+    return overlap.reshape(n_ty * n_tx, -1), n_ty, n_tx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "blur_radius", "tile")
+)
+def required_faces_per_tile(
+    face_verts: jnp.ndarray,
+    valid: jnp.ndarray,
+    image_size: Tuple[int, int],
+    blur_radius: float = 0.0,
+    tile: Tuple[int, int] = (_TILE_H, _TILE_W),
+) -> jnp.ndarray:
+    """Exact per-tile face-list capacity needed so the binning drops nothing.
+
+    Returns a scalar int32 (max over tiles of the conservative bbox-overlap
+    count).  Cheap (one (n_tiles, F) mask reduction); the eager public entry
+    uses it to size the Pallas face lists exactly, eliminating the silent
+    drops of the CUDA kMaxFacesPerBin heuristic (rasterize_coarse.cu:192).
+    """
+    v0, v1, v2 = face_verts[:, 0], face_verts[:, 1], face_verts[:, 2]
+    area = (v2[:, 0] - v0[:, 0]) * (v1[:, 1] - v0[:, 1]) - (
+        v2[:, 1] - v0[:, 1]
+    ) * (v1[:, 0] - v0[:, 0])
+    zmax = jnp.maximum(jnp.maximum(v0[:, 2], v1[:, 2]), v2[:, 2])
+    ok = valid & (zmax >= 0) & ~((area <= kEpsilon) & (area >= -kEpsilon))
+    overlap, _, _ = _tile_overlap(face_verts, ok, image_size, blur_radius, tile)
+    return jnp.max(jnp.sum(overlap.astype(jnp.int32), axis=-1))
+
+
+def _bin_faces(
+    face_verts: jnp.ndarray,  # (F, 3, 3)
+    valid: jnp.ndarray,  # (F,)
+    image_size: Tuple[int, int],
+    blur_radius: float,
+    tile,
+    max_faces_per_tile: int,
+):
+    """Assign faces to tiles -> (n_tiles, 9, MFT) coord-major + ids + counts.
+
+    Also returns `n_dropped`: total faces dropped across tiles because a
+    tile's overlap count exceeded the static capacity (0 when the caller
+    sized capacity with required_faces_per_tile).
+    """
+    F = face_verts.shape[0]
+    overlap, n_ty, n_tx = _tile_overlap(
+        face_verts, valid, image_size, blur_radius, tile
+    )
 
     # first-MFT face ids per tile (ascending face id order)
     score = jnp.where(overlap, -jnp.arange(F, dtype=jnp.float32)[None], -jnp.inf)
     top, _ = jax.lax.top_k(score, min(max_faces_per_tile, F))
     filled = jnp.isfinite(top)
     ids = jnp.where(filled, (-top).astype(jnp.int32), -1)
+    # Pad the slot dim up to the requested (chunk-granular) capacity: the
+    # fine kernels stream MFT // CHUNK full chunks, so a list shorter than
+    # the rounded capacity would silently lose its tail (F < mft case).
+    pad = max_faces_per_tile - ids.shape[1]
+    if pad > 0:
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        filled = jnp.pad(filled, ((0, 0), (0, pad)))
 
     gathered = face_verts[jnp.maximum(ids, 0)]  # (n_tiles, MFT, 3, 3)
     # dropped slots must never cover any pixel: z < 0 kills them
@@ -96,11 +171,13 @@ def _bin_faces(
     )
     gathered = jnp.where(filled[:, :, None, None], gathered, dead)
     counts = jnp.sum(filled.astype(jnp.int32), axis=-1)  # (n_tiles,)
+    full_counts = jnp.sum(overlap.astype(jnp.int32), axis=-1)
+    n_dropped = jnp.sum(jnp.maximum(full_counts - counts, 0))
     # counts padded to a (1, 128) SMEM tile per grid step
     counts_smem = jnp.broadcast_to(counts[:, None, None], (counts.shape[0], 1, 128))
     # coordinate-major layout: (n_tiles, 9, MFT)
     fv9 = jnp.moveaxis(gathered.reshape(gathered.shape[0], -1, 9), 1, 2)
-    return fv9, ids[:, None, :], counts_smem, n_ty, n_tx
+    return fv9, ids[:, None, :], counts_smem, n_ty, n_tx, n_dropped
 
 
 def _seg_dist2(px, py, ax, ay, bx, by):
@@ -115,16 +192,35 @@ def _seg_dist2(px, py, ax, ay, bx, by):
     return dx * dx + dy * dy
 
 
+def _pixel_ndc(n_tx: int, image_size, tile):
+    """(tile_h, tile_w) NDC pixel-center coords of the current grid tile."""
+    H, W = image_size
+    tile_h, tile_w = tile
+    t = pl.program_id(0)
+    ty = t // n_tx
+    tx = t % n_tx
+    rr = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    rows = ty.astype(jnp.float32) * tile_h + rr
+    cols = tx.astype(jnp.float32) * tile_w + cc
+    ns_y = 2.0 * max(H / W, 1.0)
+    ns_x = 2.0 * max(W / H, 1.0)
+    py = -(ns_y / 2.0) + (ns_y * (H - 1 - rows) + ns_y / 2.0) / H
+    px = -(ns_x / 2.0) + (ns_x * (W - 1 - cols) + ns_x / 2.0) / W
+    return px, py
+
+
 def _fine_kernel(
-    fv_ref,  # (9, MFT) coord-major tile faces in SMEM
-    ids_ref,  # (1, MFT)
-    count_ref,  # (1,) SMEM number of live faces in this tile
+    fv_ref,  # (9, CH) coord-major face-chunk in SMEM
+    ids_ref,  # (1, CH)
+    count_ref,  # (1, 128) SMEM number of live faces in this tile
     idx_out,  # (K, TH, TW)
     z_out,  # (K, T, T) or None
     b0_out,  # (K, T, T)
     b1_out,
     b2_out,
     d_out,
+    zscr,  # (K, TH, TW) VMEM scratch z keys (select-only path) or None
     *,
     emit_fragments: bool,
     n_tx: int,
@@ -135,22 +231,30 @@ def _fine_kernel(
     clip_barycentric_coords: bool,
     tile: Tuple[int, int],
 ):
-    H, W = image_size
     K = faces_per_pixel
     tile_h, tile_w = tile
-    MFT = fv_ref.shape[1]
-    t = pl.program_id(0)
-    ty = t // n_tx
-    tx = t % n_tx
+    CH = fv_ref.shape[1]
+    c = pl.program_id(1)
+    px, py = _pixel_ndc(n_tx, image_size, tile)
 
-    rr = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-    rows = ty.astype(jnp.float32) * tile_h + rr
-    cols = tx.astype(jnp.float32) * tile_w + cc
-    ns_y = 2.0 * max(H / W, 1.0)
-    ns_x = 2.0 * max(W / H, 1.0)
-    py = -(ns_y / 2.0) + (ns_y * (H - 1 - rows) + ns_y / 2.0) / H
-    px = -(ns_x / 2.0) + (ns_x * (W - 1 - cols) + ns_x / 2.0) / W
+    inf_tile = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
+    neg1_tile = jnp.full((tile_h, tile_w), -1, jnp.int32)
+    zero_tile = jnp.zeros((tile_h, tile_w), jnp.float32)
+
+    @pl.when(c == 0)
+    def _init():
+        for k in range(K):
+            idx_out[k] = neg1_tile
+            if emit_fragments:
+                z_out[k] = inf_tile
+                b0_out[k] = zero_tile
+                b1_out[k] = zero_tile
+                b2_out[k] = zero_tile
+                d_out[k] = zero_tile
+            else:
+                zscr[k] = inf_tile
+
+    n_live = jnp.clip(count_ref[0, 0] - c * CH, 0, CH)
 
     def body(j, best):
         v0x = fv_ref[0, j]
@@ -230,25 +334,41 @@ def _fine_kernel(
             new_slots.append(merged)
         return tuple(new_slots)
 
-    zeros = jnp.zeros((tile_h, tile_w), jnp.float32)
-
-    def init_slot():
-        base = [jnp.full((tile_h, tile_w), jnp.inf, jnp.float32),
-                jnp.full((tile_h, tile_w), -1, jnp.int32)]
+    @pl.when(n_live > 0)
+    def _work():
+        # top-K state persists across the chunk grid dimension in the
+        # VMEM-resident output blocks (+ zscr for the select-only z keys)
         if emit_fragments:
-            base += [zeros, zeros, zeros, zeros]
-        return tuple(base)
+            best = tuple(
+                (z_out[k], idx_out[k], b0_out[k], b1_out[k], b2_out[k],
+                 d_out[k])
+                for k in range(K)
+            )
+        else:
+            best = tuple((zscr[k], idx_out[k]) for k in range(K))
+        best = jax.lax.fori_loop(0, n_live, body, best)
+        for k in range(K):
+            idx_out[k] = best[k][1]
+            if emit_fragments:
+                z_out[k] = best[k][0]
+                b0_out[k] = best[k][2]
+                b1_out[k] = best[k][3]
+                b2_out[k] = best[k][4]
+                d_out[k] = best[k][5]
+            else:
+                zscr[k] = best[k][0]
 
-    init = tuple(init_slot() for _ in range(K))
-    best = jax.lax.fori_loop(0, count_ref[0, 0], body, init)
-    for k in range(K):
-        idx_out[k] = best[k][1]
-        if emit_fragments:
-            z_out[k] = best[k][0]
-            b0_out[k] = best[k][2]
-            b1_out[k] = best[k][3]
-            b2_out[k] = best[k][4]
-            d_out[k] = best[k][5]
+
+def _face_ok(face_verts, valid, cull_backfaces):
+    v0, v1, v2 = face_verts[:, 0], face_verts[:, 1], face_verts[:, 2]
+    area = (v2[:, 0] - v0[:, 0]) * (v1[:, 1] - v0[:, 1]) - (
+        v2[:, 1] - v0[:, 1]
+    ) * (v1[:, 0] - v0[:, 0])
+    zmax = jnp.maximum(jnp.maximum(v0[:, 2], v1[:, 2]), v2[:, 2])
+    ok = valid & (zmax >= 0) & ~((area <= kEpsilon) & (area >= -kEpsilon))
+    if cull_backfaces:
+        ok = ok & (area >= 0)
+    return ok
 
 
 @functools.partial(
@@ -282,31 +402,25 @@ def rasterize_topk_pallas(
     K = faces_per_pixel
     F = face_verts.shape[0]
 
-    v0, v1, v2 = face_verts[:, 0], face_verts[:, 1], face_verts[:, 2]
-    area = (v2[:, 0] - v0[:, 0]) * (v1[:, 1] - v0[:, 1]) - (
-        v2[:, 1] - v0[:, 1]
-    ) * (v1[:, 0] - v0[:, 0])
-    zmax = jnp.maximum(jnp.maximum(v0[:, 2], v1[:, 2]), v2[:, 2])
-    ok = valid & (zmax >= 0) & ~((area <= kEpsilon) & (area >= -kEpsilon))
-    if cull_backfaces:
-        ok = ok & (area >= 0)
+    ok = _face_ok(face_verts, valid, cull_backfaces)
 
     if max_faces_per_tile is None:
-        max_faces_per_tile = int(min(F, max(1024, F // 4)))
-    max_faces_per_tile = max(128, min(max_faces_per_tile, F))
-    # SMEM budget cap (9 data rows + ids fit scalar memory at <= 4096)
-    max_faces_per_tile = min(-(-max_faces_per_tile // 128) * 128, 4096)
+        mft = _heuristic_mft(F)
+    else:
+        mft = _round_mft(max_faces_per_tile, F)
 
-    fv9, ids, counts, n_ty, n_tx = _bin_faces(
-        face_verts, ok, image_size, blur_radius, (_TILE_H, _TILE_W),
-        max_faces_per_tile,
+    fv9, ids, counts, n_ty, n_tx, _ = _bin_faces(
+        face_verts, ok, image_size, blur_radius, (_TILE_H, _TILE_W), mft,
     )
     n_tiles = n_ty * n_tx
     MFT = fv9.shape[2]
+    CH = min(MFT, _CHUNK)
+    n_chunks = MFT // CH
 
-    def kernel(fv_ref, ids_ref, count_ref, idx_out):
+    def kernel(fv_ref, ids_ref, count_ref, idx_out, zscr):
         _fine_kernel(
-            fv_ref, ids_ref, count_ref, idx_out, None, None, None, None, None,
+            fv_ref, ids_ref, count_ref, idx_out, None, None, None, None,
+            None, zscr,
             emit_fragments=False,
             n_tx=n_tx,
             image_size=image_size,
@@ -319,23 +433,27 @@ def rasterize_topk_pallas(
 
     idx_out = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_chunks),
         in_specs=[
             pl.BlockSpec(
-                (None, 9, MFT), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
+                (None, 9, CH), lambda t, c: (t, 0, c), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (None, 1, MFT), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
+                (None, 1, CH), lambda t, c: (t, 0, c), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (None, 1, 128), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
+                (None, 1, 128), lambda t, c: (t, 0, 0), memory_space=pltpu.SMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (K, _TILE_H, _TILE_W), lambda t: (0, t // n_tx, t % n_tx)
+            (K, _TILE_H, _TILE_W), lambda t, c: (0, t // n_tx, t % n_tx)
         ),
         out_shape=jax.ShapeDtypeStruct(
             (K, n_ty * _TILE_H, n_tx * _TILE_W), jnp.int32
+        ),
+        scratch_shapes=[pltpu.VMEM((K, _TILE_H, _TILE_W), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(fv9, ids, counts)
 
@@ -348,14 +466,14 @@ def rasterize_topk_pallas(
 
 
 def _grad_kernel(
-    fv_ref,  # (9, MFT) SMEM
-    ids_ref,  # (1, MFT) SMEM
-    count_ref,  # (1,) SMEM
+    fv_ref,  # (9, CH) SMEM face-chunk
+    ids_ref,  # (1, CH) SMEM
+    count_ref,  # (1, 128) SMEM
     idx_ref,  # (K, TH, TW) VMEM selected face ids
     gz_ref,  # (K, TH, TW) VMEM zbuf cotangent
     gb_ref,  # (3K, TH, TW) VMEM bary cotangent (k-major)
     gd_ref,  # (K, TH, TW) VMEM dists cotangent
-    gout_ref,  # (9, MFT) SMEM per-slot face-vertex grads
+    gout_ref,  # (9, CH) SMEM per-slot face-vertex grads for this chunk
     *,
     n_tx: int,
     image_size: Tuple[int, int],
@@ -366,31 +484,22 @@ def _grad_kernel(
 ):
     """Gradient of (zbuf, bary, dists) wrt face verts, reduced per tile slot.
 
-    For each face slot j, accumulate the pixel cotangents of the K slots
-    that selected face j and differentiate the fragment math (identical to
-    rasterize_meshes._fragments_from_gathered) wrt the 9 coordinates with
-    in-kernel jax.grad — pure VPU reductions, no scatter.
+    For each face slot j in this chunk, accumulate the pixel cotangents of
+    the K slots that selected face j and differentiate the fragment math
+    (identical to rasterize_meshes._fragments_from_gathered) wrt the 9
+    coordinates with in-kernel jax.grad — pure VPU reductions, no scatter.
+    Chunks are independent (no carried state), so the grad output streams
+    out chunk by chunk.
     """
-    H, W = image_size
     K = faces_per_pixel
     tile_h, tile_w = tile
-    MFT = fv_ref.shape[1]
-    t = pl.program_id(0)
-    ty = t // n_tx
-    tx = t % n_tx
-
-    rr = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-    rows = ty.astype(jnp.float32) * tile_h + rr
-    cols = tx.astype(jnp.float32) * tile_w + cc
-    ns_y = 2.0 * max(H / W, 1.0)
-    ns_x = 2.0 * max(W / H, 1.0)
-    py = -(ns_y / 2.0) + (ns_y * (H - 1 - rows) + ns_y / 2.0) / H
-    px = -(ns_x / 2.0) + (ns_x * (W - 1 - cols) + ns_x / 2.0) / W
+    CH = fv_ref.shape[1]
+    c = pl.program_id(1)
+    px, py = _pixel_ndc(n_tx, image_size, tile)
 
     idx_all = [idx_ref[k] for k in range(K)]
     gz_all = [gz_ref[k] for k in range(K)]
-    gb_all = [[gb_ref[3 * k + c] for c in range(3)] for k in range(K)]
+    gb_all = [[gb_ref[3 * k + ch] for ch in range(3)] for k in range(K)]
     gd_all = [gd_ref[k] for k in range(K)]
 
     def body(j, _):
@@ -405,8 +514,8 @@ def _grad_kernel(
             m = (idx_all[k] == fid) & hit
             mf = m.astype(jnp.float32)
             cgz = cgz + mf * gz_all[k]
-            for c in range(3):
-                cgb[c] = cgb[c] + mf * gb_all[k][c]
+            for ch in range(3):
+                cgb[ch] = cgb[ch] + mf * gb_all[k][ch]
             cgd = cgd + mf * gd_all[k]
 
         def local_loss(v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z):
@@ -459,8 +568,9 @@ def _grad_kernel(
             gout_ref[r, j] = 0.0
         return 0
 
-    jax.lax.fori_loop(count_ref[0, 0], MFT, zero_body, 0)
-    jax.lax.fori_loop(0, count_ref[0, 0], body, 0)
+    n_live = jnp.clip(count_ref[0, 0] - c * CH, 0, CH)
+    jax.lax.fori_loop(n_live, CH, zero_body, 0)
+    jax.lax.fori_loop(0, n_live, body, 0)
 
 
 @functools.partial(
@@ -495,6 +605,8 @@ def rasterize_grad_pallas(
     n_tiles, _, MFT = fv9.shape
     n_ty = n_tiles // n_tx
     Hp, Wp = n_ty * _TILE_H, n_tx * _TILE_W
+    CH = min(MFT, _CHUNK)
+    n_chunks = MFT // CH
 
     def pad_kmaj(x):  # (H, W, K?) -> (K?, Hp, Wp)
         x = jnp.moveaxis(x, -1, 0)
@@ -515,18 +627,18 @@ def rasterize_grad_pallas(
         clip_barycentric_coords=clip_barycentric_coords,
         tile=(_TILE_H, _TILE_W),
     )
-    tspec = lambda c: pl.BlockSpec(
-        (c, _TILE_H, _TILE_W), lambda t: (0, t // n_tx, t % n_tx)
+    tspec = lambda cdim: pl.BlockSpec(
+        (cdim, _TILE_H, _TILE_W), lambda t, c: (0, t // n_tx, t % n_tx)
     )
     gout = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((None, 9, MFT), lambda t: (t, 0, 0),
+            pl.BlockSpec((None, 9, CH), lambda t, c: (t, 0, c),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, MFT), lambda t: (t, 0, 0),
+            pl.BlockSpec((None, 1, CH), lambda t, c: (t, 0, c),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, 128), lambda t: (t, 0, 0),
+            pl.BlockSpec((None, 1, 128), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.SMEM),
             tspec(K),
             tspec(K),
@@ -534,9 +646,12 @@ def rasterize_grad_pallas(
             tspec(K),
         ],
         out_specs=pl.BlockSpec(
-            (None, 9, MFT), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
+            (None, 9, CH), lambda t, c: (t, 0, c), memory_space=pltpu.SMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 9, MFT), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
     )(fv9, ids, counts, idx_k, gz_k, gb_k, gd_k)
 
     # small scatter: (n_tiles * MFT) slot grads -> (F, 9)
@@ -588,34 +703,27 @@ def _rfp_fwd(
     K = faces_per_pixel
     F = face_verts.shape[0]
 
-    v0, v1, v2 = face_verts[:, 0], face_verts[:, 1], face_verts[:, 2]
-    area = (v2[:, 0] - v0[:, 0]) * (v1[:, 1] - v0[:, 1]) - (
-        v2[:, 1] - v0[:, 1]
-    ) * (v1[:, 0] - v0[:, 0])
-    zmax = jnp.maximum(jnp.maximum(v0[:, 2], v1[:, 2]), v2[:, 2])
-    ok = valid & (zmax >= 0) & ~((area <= kEpsilon) & (area >= -kEpsilon))
-    if cull_backfaces:
-        ok = ok & (area >= 0)
+    ok = _face_ok(face_verts, valid, cull_backfaces)
 
-    mft = max_faces_per_tile
-    if mft is None:
-        mft = int(min(F, max(1024, F // 4)))
-    mft = max(128, min(mft, F))
-    # SMEM budget cap: the grad kernel holds 9 data + 1 id + 9 grad rows of
-    # MFT scalars in SMEM, so the fused (differentiable) path caps at 2048
-    # (the select-only path above can afford 4096).
-    mft = min(-(-mft // 128) * 128, 2048)
+    if max_faces_per_tile is None:
+        mft = _heuristic_mft(F)
+    else:
+        mft = _round_mft(max_faces_per_tile, F)
 
-    fv9, ids, counts, n_ty, n_tx = _bin_faces(
+    fv9, ids, counts, n_ty, n_tx, _ = _bin_faces(
         jax.lax.stop_gradient(face_verts), ok, image_size, blur_radius,
         (_TILE_H, _TILE_W), mft,
     )
     n_tiles = n_ty * n_tx
     MFT = fv9.shape[2]
+    CH = min(MFT, _CHUNK)
+    n_chunks = MFT // CH
 
-    def kernel(fv_ref, ids_ref, count_ref, idx_o, z_o, b0_o, b1_o, b2_o, d_o):
+    def kernel(fv_ref, ids_ref, count_ref, idx_o, z_o, b0_o, b1_o, b2_o,
+               d_o):
         _fine_kernel(
             fv_ref, ids_ref, count_ref, idx_o, z_o, b0_o, b1_o, b2_o, d_o,
+            None,
             emit_fragments=True,
             n_tx=n_tx,
             image_size=image_size,
@@ -627,20 +735,20 @@ def _rfp_fwd(
         )
 
     out_spec = pl.BlockSpec(
-        (K, _TILE_H, _TILE_W), lambda t: (0, t // n_tx, t % n_tx)
+        (K, _TILE_H, _TILE_W), lambda t, c: (0, t // n_tx, t % n_tx)
     )
     fshape = jax.ShapeDtypeStruct(
         (K, n_ty * _TILE_H, n_tx * _TILE_W), jnp.float32
     )
     idx_out, z_o, b0_o, b1_o, b2_o, d_o = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((None, 9, MFT), lambda t: (t, 0, 0),
+            pl.BlockSpec((None, 9, CH), lambda t, c: (t, 0, c),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, MFT), lambda t: (t, 0, 0),
+            pl.BlockSpec((None, 1, CH), lambda t, c: (t, 0, c),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, 128), lambda t: (t, 0, 0),
+            pl.BlockSpec((None, 1, 128), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[out_spec] * 6,
@@ -650,6 +758,9 @@ def _rfp_fwd(
             ),
             fshape, fshape, fshape, fshape, fshape,
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
     )(fv9, ids, counts)
 
     def crop(x):
