@@ -58,8 +58,8 @@ def measured_vpu_peak_flops() -> float:
     if jax.default_backend() != "tpu":
         # CPU fallback: just return a nominal figure so ratios stay finite.
         return 1e11
-    shape = (256, 1024)
-    n_iter = 2048
+    shape = (64, 512)
+    n_iter = 8192
     flops_per_elem = n_iter * 16  # 8 fmas * 2 flops per iter
 
     kern = functools.partial(_vpu_kernel, n_iter=n_iter)

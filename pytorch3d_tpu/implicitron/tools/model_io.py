@@ -24,8 +24,10 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def get_checkpoint(fl: str, epoch: int) -> str:
-    return fl + "_epoch%08d" % epoch
+def get_checkpoint(exp_dir: str, epoch: int) -> str:
+    """Epoch-stamped checkpoint path matching safe_save_model's naming
+    (reference model_io.py:130 builds model_epoch_%08d the same way)."""
+    return os.path.join(exp_dir, "model_epoch_%08d" % epoch)
 
 
 def find_last_checkpoint(

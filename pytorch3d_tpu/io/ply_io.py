@@ -222,7 +222,6 @@ def save_ply(
         header.append("property list uchar int vertex_index")
     header.append("end_header")
 
-    name = str(f)
     cols = [verts]
     if has_norm:
         cols.append(np.asarray(verts_normals, np.float32))
@@ -232,7 +231,16 @@ def save_ply(
         if has_col
         else None
     )
-    with open(name, "wb") as fh:
+    # An open binary stream is written to directly (reference save_ply
+    # accepts streams); only path-likes are opened here.
+    import contextlib
+
+    ctx = (
+        contextlib.nullcontext(f)
+        if hasattr(f, "write")
+        else open(str(f), "wb")
+    )
+    with ctx as fh:
         fh.write(("\n".join(header) + "\n").encode("ascii"))
         if ascii:
             prec = decimal_places if decimal_places is not None else 6

@@ -200,7 +200,7 @@ class SplatterPhongShader(ShaderBase):
         alpha = jnp.ones_like(colors[..., :1])
         colors_a = jnp.concatenate([colors[..., :3], alpha], axis=-1)
         pixel_coords = pixel_coords_screen_from_fragments(
-            fragments, meshes, (H, W)
+            fragments, meshes, cameras, (H, W)
         )
         blender = SplatterBlender()
         return blender(colors_a, pixel_coords, fragments, blend_params)

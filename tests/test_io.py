@@ -132,6 +132,18 @@ class TestPlyIO:
             np.testing.assert_allclose(np.asarray(v2), v, atol=1e-5)
             np.testing.assert_array_equal(np.asarray(f2), f)
 
+    def test_round_trip_stream(self):
+        # reference save_ply writes to open binary streams too
+        import io as _io
+
+        v, f = self._mesh()
+        buf = _io.BytesIO()
+        save_ply(buf, v, f)
+        buf.seek(0)
+        v2, f2 = load_ply(buf)
+        np.testing.assert_allclose(np.asarray(v2), v, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(f2), f)
+
     def test_pointcloud_with_colors(self):
         pts = np.random.RandomState(1).rand(20, 3).astype(np.float32)
         cols = np.random.RandomState(2).rand(20, 3).astype(np.float32)
