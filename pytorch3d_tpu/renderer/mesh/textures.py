@@ -182,10 +182,14 @@ class TexturesUV:
         packed = jnp.concatenate(
             [self.maps_padded[i] for i in range(N)], axis=1
         )[None]  # (1, Hm, N*Wm, C)
+        # Clamp u half a texel inside each submap before packing so the
+        # bilinear support never straddles into the adjacent mesh's map
+        # (the reference refuses multi-map join_scene rather than bleed).
+        half_texel = 0.5 / max(Wm - 1, 1)
         new_uvs = []
         for i in range(N):
             uv = self.verts_uvs_padded[i]
-            u = (uv[:, 0] + i) / N
+            u = (jnp.clip(uv[:, 0], half_texel, 1.0 - half_texel) + i) / N
             new_uvs.append(jnp.stack([u, uv[:, 1]], axis=1))
         verts_uvs = jnp.concatenate(new_uvs, axis=0)[None]
         Vuv = self.verts_uvs_padded.shape[1]

@@ -198,6 +198,36 @@ class TestJoinSceneTextures:
             lg.sum() > 50 and rr.sum() > 50 and lr.sum() == 0 and rg.sum() == 0
         )
 
+    def test_uv_no_bleed_at_map_edges(self):
+        """UVs at the extreme 0/1 u-range must sample pure submap colors:
+        packed maps get a half-texel clamp so bilinear support never
+        straddles the adjacent mesh's map (ADVICE round 1)."""
+        from pytorch3d_tpu.renderer.mesh.textures import TexturesUV
+        from pytorch3d_tpu.structures import join_meshes_as_scene
+
+        red_map = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (4, 4, 3))
+        green_map = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (4, 4, 3))
+        tex = TexturesUV.create(
+            maps=[red_map, green_map],
+            faces_uvs=[
+                jnp.asarray([[0, 1, 2]], jnp.int32),
+                jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32),
+            ],
+            verts_uvs=[
+                # full [0, 1] u-range: would bleed across the seam unclamped
+                jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.5, 1.0]]),
+                jnp.asarray([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]),
+            ],
+        )
+        scene = join_meshes_as_scene(self._scene(tex))
+        img = self._render(scene)
+        fg = img[..., 3] > 0.5
+        red = (img[..., 0] > 0.9) & (img[..., 1] < 0.1)
+        green = (img[..., 1] > 0.9) & (img[..., 0] < 0.1)
+        # every covered pixel is a pure submap color, never a blend
+        assert (fg == (red | green)).all()
+        assert red.sum() > 50 and green.sum() > 50
+
 
 class TestCameraPoseOptimization:
     """The classic pytorch3d tutorial workflow: recover a camera pose by
