@@ -160,17 +160,43 @@ class GenericModel(nn.Module):
             }
             pooler = self._view_pooler
             src_camera = camera
+            needs_per_view = any(
+                getattr(f, "requires_pooling_without_aggregation", lambda: False)()
+                for f in implicit_functions
+            )
 
-            def fun_viewpool(pts):
-                # pts (..., 3) -> (..., C_agg): pooled source-view features
-                flat = pts.reshape(1, -1, 3)
-                pooled = pooler(
-                    pts=flat, camera=src_camera, feats=img_feats, masks=None
-                )
-                agg = jnp.concatenate(
-                    [pooled[k] for k in sorted(pooled)], axis=-1
-                )
-                return agg.reshape(pts.shape[:-1] + (agg.shape[-1],))
+            if needs_per_view:
+                # un-aggregated pooling for NeRFormer-style trunks: keep
+                # the source-view axis (reference generic_model.py
+                # requires_pooling_without_aggregation handling)
+                def fun_viewpool(pts):
+                    # pts (..., 3) -> (V, ..., C) per-view features
+                    flat = pts.reshape(1, -1, 3)
+                    sampled, _ = pooler.sample_per_view(
+                        pts=flat, camera=src_camera, feats=img_feats,
+                        masks=None,
+                    )
+                    per = jnp.concatenate(
+                        [sampled[k] for k in sorted(sampled)], axis=-1
+                    )  # (V, P, C)
+                    V, _, C = per.shape
+                    return per.reshape((V,) + pts.shape[:-1] + (C,))
+
+                fun_viewpool.per_view = True
+            else:
+
+                def fun_viewpool(pts):
+                    # pts (..., 3) -> (..., C_agg): pooled source-view
+                    # features
+                    flat = pts.reshape(1, -1, 3)
+                    pooled = pooler(
+                        pts=flat, camera=src_camera, feats=img_feats,
+                        masks=None,
+                    )
+                    agg = jnp.concatenate(
+                        [pooled[k] for k in sorted(pooled)], axis=-1
+                    )
+                    return agg.reshape(pts.shape[:-1] + (agg.shape[-1],))
 
             renderer_kwargs["fun_viewpool"] = fun_viewpool
             renderer_kwargs["camera"] = camera

@@ -1,13 +1,15 @@
 """Decoding trunks for implicit functions.
 
 Parity: reference implicitron/models/implicit_function/decoding_functions.py
-(`TransformerWithInputSkips` :302): a transformer trunk with skip inputs,
-used by NeRFormer.  The reference alternates attention over the pooled
-source-view axis and the ray-point axis; our GenericModel aggregates source
-views before the trunk (ReductionFeatureAggregator), so this TPU version
-attends over the ray-point axis — the axis present in our layout — with the
-same skip-projection structure.  All shapes static; attention is batched
-MXU matmuls.
+(`TransformerWithInputSkips` :302, `TransformerEncoderLayer` :427): a
+transformer trunk with input skips that ALTERNATES attention over the
+un-aggregated source-view ("pool") axis and the ray-point axis per layer,
+with `dim_down_factor` shrinking the width each layer, and a final
+softmax-weighted pooling over the source-view axis (reference :419-421).
+
+TPU notes: all shapes static; both attention axes are batched MXU matmuls
+(flax MultiHeadDotProductAttention); the pool axis is short (n_src views)
+so the pool attention batches over rays*points.
 """
 
 from __future__ import annotations
@@ -18,9 +20,44 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm encoder layer with optional output-width reduction via a
+    truncated residual (reference decoding_functions.py:427: the residual
+    keeps the first `d_model_out` channels when the FF narrows)."""
+
+    d_model: int
+    d_model_out: int
+    n_heads: int = 4
+    dim_feedforward: int = 64
+
+    @nn.compact
+    def __call__(self, src: jnp.ndarray) -> jnp.ndarray:
+        """src: (batch, seq, d_model) -> (batch, seq, d_model_out)."""
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads,
+            qkv_features=self.d_model,
+            out_features=self.d_model,
+            name="self_attn",
+        )(src, src)
+        src = nn.LayerNorm(name="norm1")(src + attn)
+        ff = nn.Dense(self.dim_feedforward, name="linear1")(src)
+        ff = nn.Dense(self.d_model_out, name="linear2")(nn.relu(ff))
+        src = src[..., : self.d_model_out] + ff
+        return nn.LayerNorm(name="norm2")(src)
+
+
 class TransformerWithInputSkips(nn.Module):
-    """Self-attention trunk over ray points with input skips
-    (reference decoding_functions.py:302)."""
+    """Dual-axis transformer trunk with input skips
+    (reference decoding_functions.py:302).
+
+    Input `x` of shape `(n_pool, ..., n_pts, C)` (the leading axis is the
+    un-aggregated source-view axis; pass `pool_axis=False` for inputs
+    without one, in which case a singleton pool axis is added).  Each layer
+    attends first across the pool axis (batched over rays x points), then
+    across the ray-point axis (batched over pool x rays), with widths
+    `hidden_dim / dim_down_factor**layer`.  The pool axis is collapsed at
+    the end by softmax weights from channel 0 (reference :419-421).
+    """
 
     n_layers: int = 2
     output_dim: int = 256
@@ -31,32 +68,56 @@ class TransformerWithInputSkips(nn.Module):
     dim_down_factor: float = 1.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
-        """x, z: (..., n_pts, C) -> (..., n_pts, output_dim)."""
-        lead = x.shape[:-2]
+    def __call__(
+        self, x: jnp.ndarray, z: jnp.ndarray, pool_axis: bool = False
+    ) -> jnp.ndarray:
+        """x, z: (n_pool?, ..., n_pts, C) -> (..., n_pts, output_dim)."""
+        if not pool_axis:
+            x = x[None]
+            z = z[None]
+        V = x.shape[0]
+        lead = x.shape[1:-2]
         P = x.shape[-2]
+
         y = nn.Dense(self.hidden_dim, name="first")(x)
-        y = y.reshape((-1, P, self.hidden_dim))
-        z_flat = z.reshape((-1, P, z.shape[-1]))
+        # (V, R, P, d) with R = prod(lead)
+        y = y.reshape((V, -1, P, self.hidden_dim))
+        z_flat = z.reshape((V, -1, P, z.shape[-1]))
+        R = y.shape[1]
 
         skips = set(self.input_skips)
+        dims = [
+            int(round(self.hidden_dim / (self.dim_down_factor**i)))
+            for i in range(self.n_layers + 1)
+        ]
         for li in range(self.n_layers):
+            dimin, dimout = dims[li], dims[li + 1]
             if li in skips:
-                y = y + nn.Dense(y.shape[-1], name=f"skip{li}")(z_flat)
-            # pre-LN transformer encoder layer over the point axis
-            h = nn.LayerNorm(name=f"ln_attn{li}")(y)
-            h = nn.MultiHeadDotProductAttention(
-                num_heads=self.n_heads,
-                qkv_features=self.hidden_dim,
-                out_features=y.shape[-1],
-                name=f"attn{li}",
-            )(h, h)
-            y = y + h
-            f = nn.LayerNorm(name=f"ln_ff{li}")(y)
-            f = nn.Dense(self.hidden_dim, name=f"ff_a{li}")(f)
-            f = nn.relu(f)
-            f = nn.Dense(y.shape[-1], name=f"ff_b{li}")(f)
-            y = y + f
+                y = y + nn.Dense(dimin, name=f"skip{li}")(z_flat)
+            # attention across the pool (source-view) axis: batch R*P rows
+            yp = jnp.moveaxis(y, 0, 2).reshape((R * P, V, dimin))
+            yp = TransformerEncoderLayer(
+                d_model=dimin,
+                d_model_out=dimout,
+                n_heads=self.n_heads,
+                dim_feedforward=self.hidden_dim,
+                name=f"pool{li}",
+            )(yp)
+            # attention across the ray-point axis: batch V*R rows
+            yr = jnp.moveaxis(yp.reshape((R, P, V, dimout)), 2, 0).reshape(
+                (V * R, P, dimout)
+            )
+            yr = TransformerEncoderLayer(
+                d_model=dimout,
+                d_model_out=dimout,
+                n_heads=self.n_heads,
+                dim_feedforward=self.hidden_dim,
+                name=f"ray{li}",
+            )(yr)
+            y = yr.reshape((V, R, P, dimout))
 
+        # softmax-pool the source-view axis on channel 0 (reference :419)
+        w = nn.softmax(y[..., :1], axis=0)
+        y = jnp.sum(y * w, axis=0)  # (R, P, dimlast)
         y = nn.Dense(self.output_dim, name="last")(y)
         return y.reshape(lead + (P, self.output_dim))

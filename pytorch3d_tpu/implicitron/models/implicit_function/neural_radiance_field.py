@@ -82,6 +82,10 @@ class NeuralRadianceFieldBase(nn.Module, ImplicitFunctionBase):
         )
         return nn.sigmoid(self.color_layer_out(nn.relu(self.color_layer_hidden(inp))))
 
+    @staticmethod
+    def requires_pooling_without_aggregation() -> bool:
+        return False
+
     def __call__(
         self,
         ray_bundle,
@@ -93,11 +97,6 @@ class NeuralRadianceFieldBase(nn.Module, ImplicitFunctionBase):
     ):
         pts = ray_bundle_to_ray_points(ray_bundle)
         embeds = self.harmonic_embedding_xyz(pts)
-        if fun_viewpool is not None:
-            # source-view pooled features at each 3D point (reference
-            # neural_radiance_field.py:106-116: concatenated to the
-            # harmonic embedding before the trunk)
-            embeds = jnp.concatenate([embeds, fun_viewpool(pts)], axis=-1)
         if global_code is not None:
             # (B, D) broadcast over the ray/point dims
             g = global_code.reshape(
@@ -109,7 +108,30 @@ class NeuralRadianceFieldBase(nn.Module, ImplicitFunctionBase):
                 g, embeds.shape[:-1] + (global_code.shape[-1],)
             )
             embeds = jnp.concatenate([embeds, g], axis=-1)
-        features = self.xyz_encoder(embeds, embeds)
+        per_view = fun_viewpool is not None and getattr(
+            fun_viewpool, "per_view", False
+        )
+        if fun_viewpool is not None and not per_view:
+            # source-view pooled features at each 3D point (reference
+            # neural_radiance_field.py:106-116: concatenated to the
+            # harmonic embedding before the trunk)
+            embeds = jnp.concatenate([embeds, fun_viewpool(pts)], axis=-1)
+        elif per_view:
+            # un-aggregated pooling (reference NeRFormer
+            # requires_pooling_without_aggregation :276): keep the
+            # source-view axis; the transformer trunk attends across it
+            if not self.use_transformer_trunk:
+                raise ValueError(
+                    "per-view pooling requires the transformer trunk"
+                )
+            pooled = fun_viewpool(pts)  # (V, ..., n_pts, C)
+            V = pooled.shape[0]
+            e = jnp.broadcast_to(embeds[None], (V,) + embeds.shape)
+            embeds = jnp.concatenate([e, pooled], axis=-1)
+        if self.use_transformer_trunk:
+            features = self.xyz_encoder(embeds, embeds, pool_axis=per_view)
+        else:
+            features = self.xyz_encoder(embeds, embeds)
         raw_density = self.density_layer(features)
         densities = 1.0 - jnp.exp(-nn.softplus(raw_density))
         colors = self._get_colors(features, ray_bundle.directions)
@@ -123,10 +145,18 @@ class NeuralRadianceFieldImplicitFunction(NeuralRadianceFieldBase):
 
 @registry.register
 class NeRFormerImplicitFunction(NeuralRadianceFieldBase):
-    """NeRFormer: transformer trunk attending over ray points, with
-    view-pooled features concatenated to the input (reference :259).
-    The reference additionally attends over the un-aggregated source-view
-    axis; our GenericModel reduces views before the trunk."""
+    """NeRFormer: dual-axis transformer trunk (reference :259).
+
+    Attends alternately over the un-aggregated source-view axis and the
+    ray-point axis (decoding_functions.py:302); GenericModel supplies
+    per-view pooled features (requires_pooling_without_aggregation)."""
 
     use_transformer_trunk: bool = True
     transformer_dim_down_factor: float = 2.0
+    n_hidden_neurons_xyz: int = 80
+    n_layers_xyz: int = 2
+    append_xyz: Tuple[int, ...] = (1,)
+
+    @staticmethod
+    def requires_pooling_without_aggregation() -> bool:
+        return True

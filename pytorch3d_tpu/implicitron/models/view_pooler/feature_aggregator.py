@@ -79,6 +79,54 @@ class ReductionFeatureAggregator(FeatureAggregatorBase):
         return out
 
 
+def _ray_angle_weights(camera, pts, min_w: float, gamma: float):
+    """(V, P, 1) weights from source-ray vs reference-ray agreement
+    (reference _get_angular_reduction_weights semantics)."""
+    centers = camera.get_camera_center()  # (V, 3)
+    p = pts.reshape(-1, 3)  # (P, 3)
+    view_dirs = p[None] - centers[:, None]  # (V, P, 3)
+    view_dirs = view_dirs / jnp.clip(
+        jnp.linalg.norm(view_dirs, axis=-1, keepdims=True), 1e-8
+    )
+    ref = view_dirs[:1]
+    cos = jnp.sum(view_dirs * ref, axis=-1)[..., None]
+    return jnp.clip(0.5 * (cos + 1.0), min_w) ** gamma
+
+
+@registry.register
+@dataclasses.dataclass
+class AngleWeightedIdentityFeatureAggregator(FeatureAggregatorBase):
+    """Per-view features reweighted by ray-angle agreement, concatenated
+    without reduction (reference feature_aggregator.py:350
+    `AngleWeightedIdentityFeatureAggregator`)."""
+
+    weight_by_ray_angle_gamma: float = 1.0
+    min_ray_angle_weight: float = 0.1
+
+    def get_aggregated_feature_dim(self, feats_dim: int, n_views: int) -> int:
+        return feats_dim * n_views
+
+    def __call__(
+        self, feats_sampled: Dict, masks_sampled, camera=None, pts=None,
+        **kwargs,
+    ):
+        if camera is None or pts is None:
+            raise ValueError(
+                "camera and pts are required for angle weighted aggregation"
+            )
+        w = _ray_angle_weights(
+            camera, pts, self.min_ray_angle_weight,
+            self.weight_by_ray_angle_gamma,
+        )
+        out = {}
+        for name, f in feats_sampled.items():  # (V, P, C)
+            V, P, C = f.shape
+            out[name] = jnp.moveaxis(f * masks_sampled * w, 0, 1).reshape(
+                P, V * C
+            )[None]
+        return out
+
+
 @registry.register
 @dataclasses.dataclass
 class AngleWeightedReductionFeatureAggregator(ReductionFeatureAggregator):
@@ -92,17 +140,8 @@ class AngleWeightedReductionFeatureAggregator(ReductionFeatureAggregator):
         **kwargs,
     ):
         if camera is not None and pts is not None:
-            centers = camera.get_camera_center()  # (V, 3)
-            p = pts.reshape(-1, 3)  # (P, 3)
-            view_dirs = p[None] - centers[:, None]  # (V, P, 3)
-            view_dirs = view_dirs / jnp.clip(
-                jnp.linalg.norm(view_dirs, axis=-1, keepdims=True), 1e-8
+            masks_sampled = masks_sampled * _ray_angle_weights(
+                camera, pts, self.min_ray_angle_weight,
+                self.weight_by_ray_angle_gamma,
             )
-            ref = view_dirs[:1]
-            cos = jnp.sum(view_dirs * ref, axis=-1)[..., None]
-            w = (
-                jnp.clip(0.5 * (cos + 1.0), self.min_ray_angle_weight)
-                ** self.weight_by_ray_angle_gamma
-            )
-            masks_sampled = masks_sampled * w
         return super().__call__(feats_sampled, masks_sampled, **kwargs)

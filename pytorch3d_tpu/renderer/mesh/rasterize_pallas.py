@@ -181,10 +181,14 @@ def _bin_faces(
 
 
 def _seg_dist2(px, py, ax, ay, bx, by):
+    """Squared distance of the (vector) pixel coords to a segment whose
+    endpoints are SCALARS: the reciprocal/degenerate handling runs on the
+    scalar unit, leaving ~10 vector ops per segment."""
     vx = bx - ax
     vy = by - ay
     l2 = vx * vx + vy * vy
-    tpar = ((px - ax) * vx + (py - ay) * vy) / jnp.maximum(l2, kEpsilon)
+    inv_l2 = 1.0 / jnp.maximum(l2, kEpsilon)  # scalar
+    tpar = ((px - ax) * vx + (py - ay) * vy) * inv_l2
     tpar = jnp.clip(tpar, 0.0, 1.0)
     tpar = jnp.where(l2 <= kEpsilon, 1.0, tpar)
     dx = px - (ax + tpar * vx)
@@ -257,6 +261,7 @@ def _fine_kernel(
     n_live = jnp.clip(count_ref[0, 0] - c * CH, 0, CH)
 
     def body(j, best):
+        # ---- scalar-unit precomputation from the SMEM face coords ----
         v0x = fv_ref[0, j]
         v0y = fv_ref[1, j]
         v0z = fv_ref[2, j]
@@ -268,37 +273,53 @@ def _fine_kernel(
         v2z = fv_ref[8, j]
         fid = ids_ref[0, j]
 
-        e0 = (px - v1x) * (v2y - v1y) - (py - v1y) * (v2x - v1x)
-        e1 = (px - v2x) * (v0y - v2y) - (py - v2y) * (v0x - v2x)
-        e2 = (px - v0x) * (v1y - v0y) - (py - v0y) * (v1x - v0x)
         # area = edge_function(v2; v0, v1) (matches rasterize_meshes.py)
         area = (v2x - v0x) * (v1y - v0y) - (v2y - v0y) * (v1x - v0x)
         inv_area = 1.0 / (area + kEpsilon)
+
+        # Edge functions stay in the vertex-centered form: the affine
+        # a + b*px + c*py refactoring is 2 FMAs but loses ~log2(1/area)
+        # bits to cancellation on small faces (measured 4e-4 z error at
+        # ico2/128px); the subtract-first form is exact near the vertex.
+        # The scalar unit precomputes the edge deltas.
+        d01x = v2x - v1x
+        d01y = v2y - v1y
+        d12x = v0x - v2x
+        d12y = v0y - v2y
+        d20x = v1x - v0x
+        d20y = v1y - v0y
+        e0 = (px - v1x) * d01y - (py - v1y) * d01x
+        e1 = (px - v2x) * d12y - (py - v2y) * d12x
+        e2 = (px - v0x) * d20y - (py - v0y) * d20x
         w0 = e0 * inv_area
         w1 = e1 * inv_area
         w2 = e2 * inv_area
         inside = (w0 > 0.0) & (w1 > 0.0) & (w2 > 0.0)
 
         if perspective_correct:
-            t0 = w0 * v1z * v2z
-            t1 = v0z * w1 * v2z
-            t2 = v0z * v1z * w2
-            denom = jnp.maximum(t0 + t1 + t2, kEpsilon)
-            wz0, wz1, wz2 = t0 / denom, t1 / denom, t2 / denom
+            s0 = v1z * v2z
+            s1 = v0z * v2z
+            s2 = v0z * v1z
+            t0 = w0 * s0
+            t1 = w1 * s1
+            t2 = w2 * s2
+            rdenom = 1.0 / jnp.maximum(t0 + t1 + t2, kEpsilon)
+            wz0, wz1, wz2 = t0 * rdenom, t1 * rdenom, t2 * rdenom
         else:
             wz0, wz1, wz2 = w0, w1, w2
         if clip_barycentric_coords:
             wz0 = jnp.maximum(wz0, 0.0)
             wz1 = jnp.maximum(wz1, 0.0)
             wz2 = jnp.maximum(wz2, 0.0)
-            wsum = jnp.maximum(wz0 + wz1 + wz2, 1e-5)
-            wz0, wz1, wz2 = wz0 / wsum, wz1 / wsum, wz2 / wsum
+            rwsum = 1.0 / jnp.maximum(wz0 + wz1 + wz2, 1e-5)
+            wz0, wz1, wz2 = wz0 * rwsum, wz1 * rwsum, wz2 * rwsum
         pz = wz0 * v0z + wz1 * v1z + wz2 * v2z
 
-        if blur_radius > 0.0:
+        if blur_radius > 0.0 or emit_fragments:
             d2 = _seg_dist2(px, py, v0x, v0y, v1x, v1y)
             d2 = jnp.minimum(d2, _seg_dist2(px, py, v1x, v1y, v2x, v2y))
             d2 = jnp.minimum(d2, _seg_dist2(px, py, v0x, v0y, v2x, v2y))
+        if blur_radius > 0.0:
             covers = inside | (d2 < blur_radius)
         else:
             covers = inside
@@ -307,32 +328,37 @@ def _fine_kernel(
         covers = covers & (pz >= 0.0) & jnp.logical_not(zero_area)
 
         cz = jnp.where(covers, pz, jnp.inf)
-        ci = jnp.where(covers, fid, -1)
-        if emit_fragments:
-            # signed squared distance needs d2 even when blur == 0
-            if blur_radius <= 0.0:
-                d2f = _seg_dist2(px, py, v0x, v0y, v1x, v1y)
-                d2f = jnp.minimum(d2f, _seg_dist2(px, py, v1x, v1y, v2x, v2y))
-                d2f = jnp.minimum(d2f, _seg_dist2(px, py, v0x, v0y, v2x, v2y))
-            else:
-                d2f = d2
-            sdist = jnp.where(inside, -d2f, d2f)
-            cand = (cz, ci, wz0, wz1, wz2, sdist)
-        else:
-            cand = (cz, ci)
 
-        cur = cand
-        new_slots = []
-        for k in range(K):
-            take = cur[0] < best[k][0]
-            merged = tuple(
-                jnp.where(take, cur[j], best[k][j]) for j in range(len(cur))
-            )
-            cur = tuple(
-                jnp.where(take, best[k][j], cur[j]) for j in range(len(cur))
-            )
-            new_slots.append(merged)
-        return tuple(new_slots)
+        def insert(best):
+            ci = jnp.where(covers, fid, -1)
+            if emit_fragments:
+                sdist = jnp.where(inside, -d2, d2)
+                cand = (cz, ci, wz0, wz1, wz2, sdist)
+            else:
+                cand = (cz, ci)
+            cur = cand
+            new_slots = []
+            for k in range(K):
+                take = cur[0] < best[k][0]
+                merged = tuple(
+                    jnp.where(take, cur[i], best[k][i])
+                    for i in range(len(cur))
+                )
+                cur = tuple(
+                    jnp.where(take, best[k][i], cur[i])
+                    for i in range(len(cur))
+                )
+                new_slots.append(merged)
+            return tuple(new_slots)
+
+        # tau-skip: once every pixel's top-K is better than this face's z,
+        # the K-step insertion chain (the dominant per-face cost for large
+        # K) is skipped for the whole tile.  Face lists arrive roughly
+        # front-to-back for typical meshes, so dense tiles converge fast.
+        if K >= 4:
+            accept = jnp.any(cz < best[K - 1][0])
+            return jax.lax.cond(accept, insert, lambda b: b, best)
+        return insert(best)
 
     @pl.when(n_live > 0)
     def _work():
@@ -381,6 +407,7 @@ def _face_ok(face_verts, valid, cull_backfaces):
         "clip_barycentric_coords",
         "cull_backfaces",
         "max_faces_per_tile",
+        "tile",
     ),
 )
 def rasterize_topk_pallas(
@@ -393,6 +420,7 @@ def rasterize_topk_pallas(
     clip_barycentric_coords: bool = False,
     cull_backfaces: bool = False,
     max_faces_per_tile: Optional[int] = None,
+    tile: Tuple[int, int] = (_TILE_H, _TILE_W),
 ) -> jnp.ndarray:
     """Per-pixel ascending-z top-K face ids via the Pallas tile kernel.
 
@@ -401,6 +429,7 @@ def rasterize_topk_pallas(
     H, W = image_size
     K = faces_per_pixel
     F = face_verts.shape[0]
+    TH, TW = tile
 
     ok = _face_ok(face_verts, valid, cull_backfaces)
 
@@ -410,7 +439,7 @@ def rasterize_topk_pallas(
         mft = _round_mft(max_faces_per_tile, F)
 
     fv9, ids, counts, n_ty, n_tx, _ = _bin_faces(
-        face_verts, ok, image_size, blur_radius, (_TILE_H, _TILE_W), mft,
+        face_verts, ok, image_size, blur_radius, tile, mft,
     )
     n_tiles = n_ty * n_tx
     MFT = fv9.shape[2]
@@ -428,7 +457,7 @@ def rasterize_topk_pallas(
             faces_per_pixel=K,
             perspective_correct=perspective_correct,
             clip_barycentric_coords=clip_barycentric_coords,
-            tile=(_TILE_H, _TILE_W),
+            tile=tile,
         )
 
     idx_out = pl.pallas_call(
@@ -446,12 +475,12 @@ def rasterize_topk_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (K, _TILE_H, _TILE_W), lambda t, c: (0, t // n_tx, t % n_tx)
+            (K, TH, TW), lambda t, c: (0, t // n_tx, t % n_tx)
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (K, n_ty * _TILE_H, n_tx * _TILE_W), jnp.int32
+            (K, n_ty * TH, n_tx * TW), jnp.int32
         ),
-        scratch_shapes=[pltpu.VMEM((K, _TILE_H, _TILE_W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((K, TH, TW), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -510,8 +539,10 @@ def _grad_kernel(
         cgb = [jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(3)]
         cgd = jnp.zeros((tile_h, tile_w), jnp.float32)
         hit = (fid >= 0)
+        any_hit = False
         for k in range(K):
             m = (idx_all[k] == fid) & hit
+            any_hit = any_hit | m
             mf = m.astype(jnp.float32)
             cgz = cgz + mf * gz_all[k]
             for ch in range(3):
@@ -553,10 +584,21 @@ def _grad_kernel(
                 + cgd * sdist
             )
 
-        grads = jax.grad(local_loss, argnums=tuple(range(9)))(
-            fv_ref[0, j], fv_ref[1, j], fv_ref[2, j],
-            fv_ref[3, j], fv_ref[4, j], fv_ref[5, j],
-            fv_ref[6, j], fv_ref[7, j], fv_ref[8, j],
+        def do_grad(_):
+            return jax.grad(local_loss, argnums=tuple(range(9)))(
+                fv_ref[0, j], fv_ref[1, j], fv_ref[2, j],
+                fv_ref[3, j], fv_ref[4, j], fv_ref[5, j],
+                fv_ref[6, j], fv_ref[7, j], fv_ref[8, j],
+            )
+
+        # most faces in a dense tile are never selected by any pixel:
+        # skip their whole gradient computation (the per-face dominant
+        # cost) on a tile-uniform branch.
+        grads = jax.lax.cond(
+            jnp.any(any_hit),
+            do_grad,
+            lambda _: tuple(jnp.float32(0.0) for _ in range(9)),
+            0,
         )
         for r in range(9):
             gout_ref[r, j] = grads[r]

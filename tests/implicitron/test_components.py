@@ -359,6 +359,56 @@ class TestTransformerTrunk:
         # output at point 3 changed although only point 0's input changed
         assert not np.allclose(np.asarray(y0[0, 0, 3]), np.asarray(y1[0, 0, 3]))
 
+    def test_dual_axis_pool_attention(self):
+        """Reference NeRFormer trunk (decoding_functions.py:302): attention
+        across the un-aggregated source-view axis with final softmax
+        pooling -> output is view-permutation INVARIANT but depends on
+        every view's features."""
+        from pytorch3d_tpu.implicitron.models.implicit_function.decoding_functions import (
+            TransformerWithInputSkips,
+        )
+
+        trunk = TransformerWithInputSkips(
+            n_layers=2, output_dim=16, skip_dim=12, hidden_dim=16,
+            input_skips=(1,), dim_down_factor=2.0,
+        )
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (3, 2, 5, 7, 12))  # (V, B, rays, pts, C)
+        params = trunk.init(key, x, x, pool_axis=True)
+        y = trunk.apply(params, x, x, pool_axis=True)
+        assert y.shape == (2, 5, 7, 16)
+        x2 = x.at[2].add(1.0)
+        y2 = trunk.apply(params, x2, x2, pool_axis=True)
+        assert not np.allclose(np.asarray(y), np.asarray(y2))
+        perm = jnp.asarray([1, 2, 0])
+        y3 = trunk.apply(params, x[perm], x[perm], pool_axis=True)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y3), atol=1e-5
+        )
+
+    def test_angle_weighted_identity_aggregator(self):
+        """AngleWeightedIdentityFeatureAggregator (reference
+        feature_aggregator.py:350): per-view features weighted by ray-angle
+        agreement; dim = feats_dim * n_views."""
+        from pytorch3d_tpu.implicitron.models.view_pooler.feature_aggregator import (
+            AngleWeightedIdentityFeatureAggregator,
+        )
+        from pytorch3d_tpu.renderer import FoVPerspectiveCameras, look_at_view_transform
+
+        agg = AngleWeightedIdentityFeatureAggregator()
+        assert agg.get_aggregated_feature_dim(8, 3) == 24
+        R, T = look_at_view_transform(
+            dist=2.7, elev=jnp.asarray([0.0, 10.0, 20.0]),
+            azim=jnp.asarray([0.0, 40.0, 80.0]),
+        )
+        cams = FoVPerspectiveCameras.create(R=R, T=T)
+        feats = {"f": jax.random.normal(jax.random.PRNGKey(0), (3, 11, 8))}
+        masks = jnp.ones((3, 11, 1))
+        pts = jax.random.normal(jax.random.PRNGKey(1), (1, 11, 3))
+        out = agg(feats, masks, camera=cams, pts=pts)
+        assert out["f"].shape == (1, 11, 24)
+        assert np.isfinite(np.asarray(out["f"])).all()
+
 
 class TestImplicitronDataSource:
     def test_json_provider_with_subset_lists(self, tmp_path):
