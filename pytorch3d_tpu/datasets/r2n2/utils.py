@@ -129,3 +129,85 @@ def collate_batched_R2N2(batch: List[Dict]) -> Dict:
                 [jnp.asarray(x) for x in collated[k]]
             )
     return collated
+
+SHAPENET_MIN_ZMIN = 0.67
+SHAPENET_MAX_ZMAX = 0.92
+CUBIFY_THRESH = 0.2
+
+
+def project_verts(verts, P, eps: float = 1e-1):
+    """Project (V, 3) or (N, V, 3) vertices by 4x4 matrices with sign-safe
+    w clamping (reference r2n2/utils.py:401 `project_verts`)."""
+    verts = jnp.asarray(verts, jnp.float32)
+    P = jnp.asarray(P, jnp.float32)
+    singleton = verts.ndim == 2
+    if singleton:
+        verts, P = verts[None], P[None]
+    ones = jnp.ones(verts.shape[:2] + (1,), verts.dtype)
+    hom = jnp.concatenate([verts, ones], axis=2)
+    cam = jnp.einsum("nvj,nkj->nvk", hom, P)
+    w = cam[:, :, 3:]
+    w_sign = jnp.where(w == 0, 1.0, jnp.sign(w))
+    w = w_sign * jnp.maximum(jnp.abs(w), eps)
+    out = cam[:, :, :3] / w
+    return out[0] if singleton else out
+
+
+def voxelize(voxel_coords, P, V: int):
+    """(V_pts, 3) voxel coords + 4x4 projection -> (V, V, V) occupancy grid
+    aligned with the R2N2 renders (reference r2n2/utils.py:353: project,
+    renormalize z by the dataset-wide [SHAPENET_MIN_ZMIN, SHAPENET_MAX_ZMAX]
+    range, flip x, round to the grid).  TPU-idiomatic scatter via a
+    one-hot-free `.at[].set` on the flat grid."""
+    coords = project_verts(jnp.asarray(voxel_coords, jnp.float32), P)
+    m = 2.0 / (SHAPENET_MAX_ZMAX - SHAPENET_MIN_ZMIN)
+    b = -2.0 * SHAPENET_MIN_ZMIN / (SHAPENET_MAX_ZMAX - SHAPENET_MIN_ZMIN) - 1.0
+    coords = coords.at[:, 2].set(coords[:, 2] * m + b)
+    coords = coords.at[:, 0].set(-coords[:, 0])  # flip x
+
+    # [-1, 1]^3 -> [0, V-1]^3 grid indices
+    idx = jnp.round(0.5 * (V - 1) * (coords + 1.0)).astype(jnp.int32)
+    valid = jnp.all((idx >= 0) & (idx < V), axis=1)
+    x, y, z = idx[:, 0], idx[:, 1], idx[:, 2]
+    flat = jnp.where(valid, (z * V + y) * V + x, V * V * V)
+    voxels = jnp.zeros((V * V * V + 1,), jnp.uint8).at[flat].set(1)
+    return voxels[:-1].reshape(V, V, V)
+
+
+def render_cubified_voxels(voxels, shader_type=None, **kwargs):
+    """Cubify (N, D, D, D) voxel grids at CUBIFY_THRESH and render them with
+    a BlenderCamera (reference r2n2/utils.py:481)."""
+    from ...ops.cubify import cubify
+    from ...renderer import (
+        MeshRasterizer,
+        MeshRenderer,
+        PointLights,
+        RasterizationSettings,
+    )
+    from ...renderer.mesh.shader import HardPhongShader
+    from ...renderer.mesh.textures import TexturesVertex
+
+    if shader_type is None:
+        shader_type = HardPhongShader
+    meshes = cubify(jnp.asarray(voxels, jnp.float32), CUBIFY_THRESH)
+    meshes = meshes.replace(
+        textures=TexturesVertex(
+            verts_features_padded=jnp.ones_like(meshes.verts_padded())
+        )
+    )
+    cameras = kwargs.get("cameras") or BlenderCamera.create(
+        R=jnp.broadcast_to(jnp.eye(3)[None], (len(meshes), 3, 3)),
+        T=jnp.zeros((len(meshes), 3)),
+    )
+    renderer = MeshRenderer(
+        rasterizer=MeshRasterizer(
+            cameras,
+            kwargs.get("raster_settings", RasterizationSettings()),
+        ),
+        shader=shader_type(
+            cameras=cameras,
+            lights=kwargs.get("lights", PointLights.create()),
+        ),
+    )
+    return renderer(meshes)
+

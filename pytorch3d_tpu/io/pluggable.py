@@ -94,10 +94,25 @@ class MeshOffFormat(MeshFormatInterpreter):
     def read(self, path, include_textures=True, **kwargs):
         if not endswith(path, self.known_suffixes):
             return None
-        from .off_io import load_off
+        from .off_io import load_off_full
 
-        verts, faces = load_off(path)
-        return Meshes.create([verts], [faces])
+        data = load_off_full(path)
+        textures = None
+        if include_textures and "verts_colors" in data:
+            from ..renderer.mesh.textures import TexturesVertex
+
+            textures = TexturesVertex(
+                verts_features_padded=data["verts_colors"][None, :, :3]
+            )
+        elif include_textures and "faces_colors" in data:
+            from ..renderer.mesh.textures import TexturesAtlas
+
+            textures = TexturesAtlas(
+                atlas_padded=data["faces_colors"][None, :, None, None, :3]
+            )
+        return Meshes.create(
+            [data["verts"]], [data["faces"]], textures=textures
+        )
 
     def save(self, data: Meshes, path, **kwargs) -> bool:
         if not endswith(path, self.known_suffixes):
@@ -106,7 +121,18 @@ class MeshOffFormat(MeshFormatInterpreter):
 
         nv = int(data.num_verts_per_mesh()[0])
         nf = int(data.num_faces_per_mesh()[0])
-        save_off(path, data.verts_padded()[0][:nv], data.faces_padded()[0][:nf])
+        vcol = None
+        tex = getattr(data, "textures", None)
+        if tex is not None and getattr(
+            tex, "verts_features_padded", None
+        ) is not None:
+            vcol = tex.verts_features_padded[0][:nv]
+        save_off(
+            path,
+            data.verts_padded()[0][:nv],
+            data.faces_padded()[0][:nf],
+            verts_colors=vcol,
+        )
         return True
 
 

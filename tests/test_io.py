@@ -204,3 +204,109 @@ class TestPluggableIO:
             assert False
         except ValueError:
             pass
+
+
+class TestOffColors:
+    """OFF/COFF colors (reference io/off_io.py:170 vertex colors, :57 face
+    colors, scaling of integer 0-255 colors)."""
+
+    def test_vertex_colors_float_roundtrip(self, tmp_path):
+        from pytorch3d_tpu.io.off_io import load_off_full, save_off
+
+        v = np.random.RandomState(0).rand(5, 3).astype(np.float32)
+        f = np.asarray([[0, 1, 2], [2, 3, 4]], np.int64)
+        c = np.random.RandomState(1).rand(5, 3).astype(np.float32)
+        p = str(tmp_path / "m.off")
+        save_off(p, v, f, verts_colors=c)
+        assert open(p).readline().strip() == "COFF"
+        data = load_off_full(p)
+        np.testing.assert_allclose(np.asarray(data["verts"]), v, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(data["verts_colors"]), c, atol=1e-5
+        )
+
+    def test_integer_colors_are_scaled(self, tmp_path):
+        from pytorch3d_tpu.io.off_io import load_off_full
+
+        p = str(tmp_path / "m.off")
+        with open(p, "w") as fh:
+            fh.write("COFF\n3 1 0\n")
+            fh.write("0 0 0 255 0 0\n1 0 0 0 255 0\n0 1 0 0 0 255\n")
+            fh.write("3 0 1 2\n")
+        data = load_off_full(p)
+        np.testing.assert_allclose(
+            np.asarray(data["verts_colors"]),
+            np.eye(3, dtype=np.float32),
+            atol=1e-6,
+        )
+
+    def test_face_colors_and_quad_triangulation(self, tmp_path):
+        from pytorch3d_tpu.io.off_io import load_off_full
+
+        p = str(tmp_path / "m.off")
+        with open(p, "w") as fh:
+            fh.write("OFF\n4 1 0\n")
+            fh.write("0 0 0\n1 0 0\n1 1 0\n0 1 0\n")
+            fh.write("4 0 1 2 3 0.9 0.1 0.2\n")  # quad with a face color
+        data = load_off_full(p)
+        assert data["faces"].shape == (2, 3)  # fan-triangulated
+        np.testing.assert_allclose(
+            np.asarray(data["faces_colors"]),
+            [[0.9, 0.1, 0.2]] * 2,
+            atol=1e-6,
+        )
+
+    def test_pluggable_io_textures(self, tmp_path):
+        from pytorch3d_tpu.io.pluggable import IO
+
+        p = str(tmp_path / "m.off")
+        with open(p, "w") as fh:
+            fh.write("COFF\n3 1 0\n")
+            fh.write(
+                "0 0 0 1.0 0.0 0.0\n1 0 0 0.0 1.0 0.0\n0 1 0 0.0 0.0 1.0\n"
+            )
+            fh.write("3 0 1 2\n")
+        mesh = IO().load_mesh(p)
+        feats = mesh.textures.verts_features_padded
+        np.testing.assert_allclose(
+            np.asarray(feats[0]), np.eye(3, dtype=np.float32), atol=1e-6
+        )
+
+
+class TestR2N2VoxelUtils:
+    """voxelize + render_cubified_voxels (reference r2n2/utils.py:353/:481)."""
+
+    def test_voxelize_round_trip_positions(self):
+        import jax
+
+        from pytorch3d_tpu.datasets.r2n2.utils import voxelize
+
+        pts = jax.random.uniform(
+            jax.random.PRNGKey(0), (200, 3), minval=-0.3, maxval=0.3
+        )
+        P = np.eye(4, dtype=np.float32)
+        P[2, 3] = 0.8  # push into the dataset z range
+        vox = np.asarray(voxelize(pts, jnp.asarray(P), 32))
+        assert vox.shape == (32, 32, 32) and vox.dtype == np.uint8
+        assert 0 < vox.sum() <= 200
+
+    def test_voxelize_out_of_range_dropped(self):
+        from pytorch3d_tpu.datasets.r2n2.utils import voxelize
+
+        pts = jnp.asarray([[50.0, 50.0, 50.0]])
+        vox = np.asarray(voxelize(pts, jnp.eye(4), 8))
+        assert vox.sum() == 0
+
+    def test_render_cubified_voxels(self):
+        from pytorch3d_tpu.datasets.r2n2.utils import render_cubified_voxels
+        from pytorch3d_tpu.renderer import RasterizationSettings
+
+        grid = np.zeros((1, 8, 8, 8), np.float32)
+        grid[0, 2:6, 2:6, 2:6] = 1.0
+        img = render_cubified_voxels(
+            jnp.asarray(grid),
+            raster_settings=RasterizationSettings(image_size=64),
+        )
+        arr = np.asarray(img)
+        assert arr.shape[0] == 1 and arr.shape[-1] == 4
+        assert np.isfinite(arr).all()
