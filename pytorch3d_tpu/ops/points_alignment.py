@@ -121,6 +121,57 @@ def iterative_closest_point(
         s = jnp.ones((N,), Xt.dtype)
         Xt_cur = Xt
 
+    if isinstance(Xt, jax.core.Tracer) or isinstance(Yt, jax.core.Tracer):
+        # jit-safe path: fixed-length lax.scan with updates frozen once
+        # converged (static shapes; `converged` is a traced bool).  The
+        # eager path below keeps the reference's early-exit behavior.
+        def step(carry, _):
+            R, T, s, Xt_cur, prev_rmse, conv = carry
+            knn = knn_points(
+                Xt_cur, Yt, lengths1=num_points_X, lengths2=num_points_Y,
+                K=1, return_nn=True,
+            )
+            Xt_nn = knn.knn[:, :, 0]
+            sim = corresponding_points_alignment(
+                Xt_cur, Xt_nn, weights=mask_X,
+                estimate_scale=estimate_scale,
+                allow_reflection=allow_reflection,
+            )
+            Xt_new = _apply_similarity_transform(Xt_cur, sim.R, sim.T, sim.s)
+            R_new = jnp.einsum("nij,njk->nik", R, sim.R)
+            T_new = (
+                jnp.einsum("ni,nij->nj", T, sim.R) * sim.s[:, None] + sim.T
+            )
+            s_new = s * sim.s
+            rmse = jnp.sqrt(
+                jnp.sum(knn.dists[..., 0] * mask_X, axis=1)
+                / jnp.clip(jnp.sum(mask_X, axis=1), 1.0)
+            )
+            rel = (prev_rmse - rmse) / jnp.clip(prev_rmse, 1e-12)
+            conv_new = conv | jnp.all(rel <= relative_rmse_thr)
+            # freeze state after convergence
+            keep = lambda new, old: jnp.where(conv, old, new)
+            carry = (
+                keep(R_new, R), keep(T_new, T), keep(s_new, s),
+                keep(Xt_new, Xt_cur), keep(rmse, prev_rmse), conv_new,
+            )
+            return carry, (keep(R_new, R), keep(T_new, T), keep(s_new, s))
+
+        init = (
+            R, T, s, Xt_cur,
+            jnp.full((N,), jnp.inf, Xt.dtype), jnp.asarray(False),
+        )
+        (R, T, s, Xt_cur, rmse, converged), hist = jax.lax.scan(
+            step, init, None, length=max_iterations
+        )
+        t_history = [
+            SimilarityTransform(hist[0][i], hist[1][i], hist[2][i])
+            for i in range(max_iterations)
+        ]
+        return ICPSolution(
+            converged, rmse, Xt_cur, SimilarityTransform(R, T, s), t_history
+        )
+
     prev_rmse = None
     rmse = None
     t_history = []

@@ -214,6 +214,32 @@ class TestAlignment:
         Y = np.einsum("npi,nij->npj", X, R) + 0.1
         sol = iterative_closest_point(jnp.asarray(X), jnp.asarray(Y))
         assert float(sol.rmse[0]) < 1e-3
+        assert sol.converged
+
+    def test_icp_under_jit(self):
+        """ICP must be jit-compatible: the traced path runs a fixed-length
+        masked lax.scan with a traced `converged` flag (the eager path
+        keeps host-side early exit)."""
+        rng = np.random.RandomState(10)
+        X = rng.randn(2, 40, 3).astype(np.float32)
+        angle = 0.25
+        R = np.asarray(
+            [
+                [np.cos(angle), -np.sin(angle), 0],
+                [np.sin(angle), np.cos(angle), 0],
+                [0, 0, 1],
+            ],
+            np.float32,
+        )[None]
+        Y = np.einsum("npi,nij->npj", X, R) + 0.1
+        f = jax.jit(
+            lambda a, b: iterative_closest_point(a, b, max_iterations=30)
+        )
+        sol = f(jnp.asarray(X), jnp.asarray(Y))
+        assert bool(sol.converged)
+        assert float(np.asarray(sol.rmse).max()) < 1e-3
+        # history is stacked to max_iterations with frozen tail
+        assert len(sol.t_history) == 30
 
 
 class TestPointsNormals:
