@@ -54,7 +54,7 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    for level, size, K, blur in [(4, 512, 8, 1e-4), (5, 512, 8, 1e-4)]:
+    for level, size, K, blur in [(4, 512, 8, 1e-4), (5, 512, 8, 1e-4), (6, 1024, 8, 1e-5)]:
         fv, valid = setup(level, size, K, blur)
         tag = f"ico{level}_{size}px_K{K}"
 
@@ -66,7 +66,7 @@ def main():
 
             return jax.jit(run)
 
-        for tile in [(32, 128), (16, 128), (8, 128)]:
+        for tile in [(32, 128)]:
             emit(
                 f"select_{tag}_tile{tile[0]}x{tile[1]}",
                 bench(make_select(tile), fv),
@@ -90,8 +90,7 @@ def main():
             )
             return idx, z, b, d
 
-        f_si = jax.jit(sel_interp)
-        emit(f"emit_select+xla_{tag}", bench(f_si, fv))
+
 
         # fwd+bwd: fused pallas-grad vs select+interp autodiff
         def loss_fused(v):
@@ -108,7 +107,6 @@ def main():
             )
 
         emit(f"fwdbwd_fused_{tag}", bench(jax.jit(jax.grad(loss_fused)), fv))
-        emit(f"fwdbwd_select+xla_{tag}", bench(jax.jit(jax.grad(loss_si)), fv))
 
     with open("EXP_TILE.json", "w") as f:
         json.dump(rows, f, indent=1)

@@ -15,7 +15,11 @@ import jax
 
 from ..models.renderer.base import EvaluationMode
 from ..tools.config import Configurable
-from .evaluate_new_view_synthesis import aggregate_nvs_results, eval_batch
+from .evaluate_new_view_synthesis import (
+    aggregate_nvs_results,
+    eval_batch,
+    summarize_nvs_eval_results,
+)
 
 
 @dataclasses.dataclass
@@ -23,6 +27,8 @@ class ImplicitronEvaluator(Configurable):
     """Evaluate new-view synthesis over a test data loader (reference :48)."""
 
     camera_difficulty_bin_breaks: tuple = (0.97, 0.98)
+    is_multisequence: bool = False
+    compute_lpips: bool = True
 
     def run(
         self,
@@ -34,7 +40,13 @@ class ImplicitronEvaluator(Configurable):
         epoch: Optional[int] = None,
         **kwargs,
     ) -> List[Dict[str, Any]]:
-        """Returns per-batch eval results; optionally dumps aggregate JSON."""
+        """Returns per-batch eval results; optionally dumps aggregate JSON
+        (flat summary + per-subset breakdown, reference evaluator.py:93)."""
+        lpips_model = None
+        if self.compute_lpips:
+            from ..tools.lpips import LPIPSSubstitute
+
+            lpips_model = LPIPSSubstitute()
         per_batch = []
         for frame_data in dataloader:
             preds = model.apply(
@@ -44,10 +56,26 @@ class ImplicitronEvaluator(Configurable):
                 fg_probability=frame_data.fg_probability,
                 evaluation_mode=EvaluationMode.EVALUATION,
             )
-            per_batch.append(eval_batch(frame_data, preds))
+            per_batch.append(
+                eval_batch(frame_data, preds, lpips_model=lpips_model)
+            )
+        flat, aux = summarize_nvs_eval_results(
+            per_batch,
+            is_multisequence=self.is_multisequence,
+            camera_difficulty_bin_breaks=self.camera_difficulty_bin_breaks,
+        )
         agg = aggregate_nvs_results(per_batch)
         if dump_to_json and exp_dir:
             path = os.path.join(exp_dir, "results_test.json")
             with open(path, "w") as f:
-                json.dump({"results": per_batch, "aggregate": agg}, f, indent=1)
+                json.dump(
+                    {
+                        "results": per_batch,
+                        "aggregate": agg,
+                        "summary_flat": flat,
+                        "summary": aux["results"],
+                    },
+                    f,
+                    indent=1,
+                )
         return per_batch

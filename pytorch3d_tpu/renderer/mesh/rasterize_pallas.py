@@ -351,13 +351,12 @@ def _fine_kernel(
                 new_slots.append(merged)
             return tuple(new_slots)
 
-        # tau-skip: once every pixel's top-K is better than this face's z,
-        # the K-step insertion chain (the dominant per-face cost for large
-        # K) is skipped for the whole tile.  Face lists arrive roughly
-        # front-to-back for typical meshes, so dense tiles converge fast.
-        if K >= 4:
-            accept = jnp.any(cz < best[K - 1][0])
-            return jax.lax.cond(accept, insert, lambda b: b, best)
+        # NOTE: a tau-skip (lax.cond around the insertion chain when no
+        # pixel can accept the face) was measured SLOWER on v5e (+34% at
+        # ico4/512, +74% on the emit path): Mosaic round-trips the large
+        # loop carry through VMEM at the cond boundary every iteration,
+        # which costs more than the skipped vector ops. Keep the chain
+        # unconditional.
         return insert(best)
 
     @pl.when(n_live > 0)
