@@ -1,0 +1,152 @@
+"""Scaling-efficiency harness for the shard_map paths (SURVEY §2.12).
+
+Measures rays/s of the shard_map GenericModel train step and Mpix/s of
+the pixel-sharded rasterizer at mesh sizes 1/2/4/8, writing SCALING.json
+with per-size rates and efficiency vs linear scaling from 1 device.
+
+On this 1-real-chip environment the sizes run as VIRTUAL CPU devices
+(subprocess per size with xla_force_host_platform_device_count), which
+validates the collective structure and measures collective overhead —
+virtual devices share host cores, so absolute efficiency numbers are a
+LOWER BOUND on real-pod ICI scaling (BASELINE target >=85% at 4 hosts is
+to be confirmed on a pod).  On a real multi-chip slice the same harness
+runs unmodified.
+
+Run: python -m benchmarks.bm_scaling
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_CHILD = """
+import json, os, sys, time
+import jax, jax.numpy as jnp
+import optax
+
+n = int(sys.argv[1])
+from pytorch3d_tpu.parallel import (
+    get_device_mesh, make_sharded_generic_train_step,
+)
+from pytorch3d_tpu.parallel.raster import sharded_silhouette_loss_and_grad
+from pytorch3d_tpu.implicitron.models.generic_model import GenericModel
+from pytorch3d_tpu.implicitron.models.renderer.base import EvaluationMode
+from pytorch3d_tpu.renderer import (
+    FoVPerspectiveCameras, MeshRasterizer, RasterizationSettings,
+    look_at_view_transform,
+)
+from pytorch3d_tpu.utils import ico_sphere
+
+mesh = get_device_mesh((1, n))
+N_RAYS = 128  # per device -> total rays scales with n
+
+model = GenericModel(
+    render_image_width=32, render_image_height=32, num_passes=1,
+    chunk_size_grid=0,
+    raysampler_args=dict(
+        n_pts_per_ray_training=16, n_pts_per_ray_evaluation=16,
+        n_rays_per_image_sampled_from_mask=N_RAYS, scene_extent=3.0,
+    ),
+    implicit_function_args=dict(
+        n_hidden_neurons_xyz=64, n_hidden_neurons_dir=32,
+        n_layers_xyz=4, append_xyz=(2,),
+    ),
+)
+R, T = look_at_view_transform(dist=2.7, elev=10.0, azim=30.0)
+cams = FoVPerspectiveCameras.create(R=R, T=T)
+img = jnp.broadcast_to(jnp.asarray([0.3, 0.6, 0.2]), (1, 32, 32, 3))
+fg = jnp.ones((1, 32, 32, 1))
+batch = dict(image_rgb=img, camera=cams, fg_probability=fg)
+params = model.init(
+    jax.random.PRNGKey(0), key=jax.random.PRNGKey(2),
+    evaluation_mode=EvaluationMode.TRAINING, **batch
+)
+opt = optax.adam(1e-3)
+opt_state = opt.init(params)
+step = make_sharded_generic_train_step(
+    model, opt, mesh,
+    static_model_kwargs=dict(evaluation_mode=EvaluationMode.TRAINING),
+)
+params, opt_state, loss = step(params, opt_state, batch, jax.random.PRNGKey(0))
+jax.block_until_ready(loss)
+t0 = time.perf_counter()
+iters = 10
+for i in range(iters):
+    params, opt_state, loss = step(
+        params, opt_state, batch, jax.random.PRNGKey(i)
+    )
+jax.block_until_ready(loss)
+dt = (time.perf_counter() - t0) / iters
+rays_per_s = N_RAYS * n / dt
+
+# sharded raster fwd+bwd
+sphere = ico_sphere(2)
+rast = MeshRasterizer(cams, RasterizationSettings(image_size=64))
+tm = rast.transform(sphere)
+fv = tm.verts_padded()[0][tm.faces_padded()[0]]
+valid = tm.faces_padded()[0, :, 0] >= 0
+f = jax.jit(lambda v: sharded_silhouette_loss_and_grad(
+    v, valid, (64, 64), mesh))
+jax.block_until_ready(f(fv))
+t0 = time.perf_counter()
+for _ in range(5):
+    out = f(fv)
+jax.block_until_ready(out)
+raster_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+print(json.dumps({
+    "n": n, "rays_per_s": rays_per_s, "step_ms": dt * 1e3,
+    "raster_fwdbwd_ms": raster_ms,
+}))
+"""
+
+
+def main():
+    sizes = [1, 2, 4, 8]
+    rows = []
+    for n in sizes:
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n}"
+        )
+        env.pop("PYTHONPATH", None)
+        out = subprocess.run(
+            [sys.executable, "-c", _CHILD, str(n)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(f"n={n} FAILED:\n{out.stderr[-2000:]}")
+            continue
+        row = json.loads(line[-1])
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if rows and rows[0]["n"] == 1:
+        base = rows[0]["rays_per_s"]
+        for r in rows:
+            r["efficiency_vs_linear"] = r["rays_per_s"] / (base * r["n"])
+    with open("SCALING.json", "w") as f:
+        json.dump(
+            {
+                "note": (
+                    "virtual CPU devices sharing host cores: efficiency is"
+                    " a lower bound; structure-validating, not ICI-"
+                    "representative"
+                ),
+                "rows": rows,
+            },
+            f,
+            indent=1,
+        )
+    print("wrote SCALING.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -198,6 +198,32 @@ def rasterize_topk_xla(
     running buffer of the smallest-z candidates, merged by sort each step.
     """
     H, W = image_size
+    yf, xf = pixel_grid_ndc(H, W, face_verts.dtype)
+    pxy = jnp.stack(jnp.meshgrid(yf, xf, indexing="ij")[::-1], axis=-1)  # (H,W,2) xy
+    return rasterize_topk_xla_at_pixels(
+        face_verts, valid, pxy, blur_radius, faces_per_pixel,
+        perspective_correct, clip_barycentric_coords, cull_backfaces,
+        chunk_size,
+    )
+
+
+def rasterize_topk_xla_at_pixels(
+    face_verts: jnp.ndarray,  # (F, 3, 3)
+    valid: jnp.ndarray,  # (F,)
+    pxy: jnp.ndarray,  # (H, W, 2) explicit NDC pixel centers (e.g. a
+    # row band of a larger image under shard_map pixel sharding)
+    blur_radius: float = 0.0,
+    faces_per_pixel: int = 1,
+    perspective_correct: bool = False,
+    clip_barycentric_coords: bool = False,
+    cull_backfaces: bool = False,
+    chunk_size: int = 256,
+) -> jnp.ndarray:
+    """Selection pass over an EXPLICIT pixel grid: per-pixel results are
+    independent, so any row/tile partition of `pxy` yields exactly the
+    full-image values (the basis of the shard_map sharded rasterizer in
+    parallel/raster.py)."""
+    H, W = pxy.shape[:2]
     F = face_verts.shape[0]
     K = faces_per_pixel
     C = min(chunk_size, F)
@@ -205,9 +231,6 @@ def rasterize_topk_xla(
     pad = n_chunks * C - F
     fv = jnp.pad(face_verts, ((0, pad), (0, 0), (0, 0)))
     ok = _face_culls(fv, jnp.pad(valid, (0, pad)), cull_backfaces)
-
-    yf, xf = pixel_grid_ndc(H, W, face_verts.dtype)
-    pxy = jnp.stack(jnp.meshgrid(yf, xf, indexing="ij")[::-1], axis=-1)  # (H,W,2) xy
 
     fv_chunks = fv.reshape(n_chunks, C, 3, 3)
     ok_chunks = ok.reshape(n_chunks, C)
@@ -254,15 +277,17 @@ def _fragments_from_gathered(
     image_size: Tuple[int, int],
     perspective_correct: bool,
     clip_barycentric_coords: bool,
+    pxy=None,
 ):
     """Elementwise fragment math given already-gathered face verts."""
-    H, W = image_size
     v0, v1, v2 = fv[..., 0, :], fv[..., 1, :], fv[..., 2, :]
     v0xy, v1xy, v2xy = v0[..., :2], v1[..., :2], v2[..., :2]
     z0, z1, z2 = v0[..., 2], v1[..., 2], v2[..., 2]
 
-    yf, xf = pixel_grid_ndc(H, W, fv.dtype)
-    pxy = jnp.stack(jnp.meshgrid(yf, xf, indexing="ij")[::-1], axis=-1)
+    if pxy is None:
+        H, W = image_size
+        yf, xf = pixel_grid_ndc(H, W, fv.dtype)
+        pxy = jnp.stack(jnp.meshgrid(yf, xf, indexing="ij")[::-1], axis=-1)
     p = pxy[:, :, None, :]  # (H, W, 1, 2)
 
     bary0 = barycentric_coords(p, v0xy, v1xy, v2xy)

@@ -96,3 +96,156 @@ class TestShardedTrainStep:
         s = shard_rays(mesh)
         x = jax.device_put(jnp.zeros((2, 64, 3)), s)
         assert len(x.addressable_shards) == 8
+
+
+class TestShardMapRaster:
+    """Pixel-row-sharded rasterization (parallel/raster.py): shard_map
+    over the rays axis must reproduce the unsharded rasterizer exactly
+    and psum the face-vertex gradient across bands."""
+
+    def _faces(self):
+        from pytorch3d_tpu.renderer import (
+            MeshRasterizer,
+            RasterizationSettings,
+        )
+        from pytorch3d_tpu.utils import ico_sphere
+
+        mesh = ico_sphere(2)
+        R, T = look_at_view_transform(dist=2.7, elev=15.0, azim=40.0)
+        cams = FoVPerspectiveCameras.create(R=R, T=T)
+        rast = MeshRasterizer(
+            cams, RasterizationSettings(image_size=64)
+        )
+        tm = rast.transform(mesh)
+        fv = tm.verts_padded()[0][tm.faces_padded()[0]]
+        valid = tm.faces_padded()[0, :, 0] >= 0
+        return fv, valid
+
+    def test_sharded_equals_unsharded(self):
+        from pytorch3d_tpu.parallel.raster import (
+            rasterize_fragments_shard_map,
+        )
+        from pytorch3d_tpu.renderer.mesh.rasterize_meshes import (
+            interpolate_fragments,
+            rasterize_topk_xla,
+        )
+
+        fv, valid = self._faces()
+        mesh = get_device_mesh((1, 8))
+        idx_s, z_s, b_s, d_s = rasterize_fragments_shard_map(
+            fv, valid, (64, 64), mesh, axis="rays",
+            blur_radius=1e-4, faces_per_pixel=4,
+        )
+        idx_u = rasterize_topk_xla(
+            fv, valid, (64, 64), blur_radius=1e-4, faces_per_pixel=4
+        )
+        z_u, b_u, d_u = interpolate_fragments(fv, idx_u, (64, 64))
+        np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_u))
+        np.testing.assert_allclose(
+            np.asarray(z_s), np.asarray(z_u), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_s), np.asarray(d_u), atol=1e-6
+        )
+
+    def test_sharded_gradient_psum(self):
+        from pytorch3d_tpu.parallel.raster import (
+            sharded_silhouette_loss_and_grad,
+        )
+
+        fv, valid = self._faces()
+        mesh8 = get_device_mesh((1, 8))
+        mesh1 = get_device_mesh((1, 1), devices=jax.devices()[:1])
+        l8, g8 = sharded_silhouette_loss_and_grad(
+            fv, valid, (64, 64), mesh8
+        )
+        l1, g1 = sharded_silhouette_loss_and_grad(
+            fv, valid, (64, 64), mesh1
+        )
+        np.testing.assert_allclose(float(l8), float(l1), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g8), np.asarray(g1), atol=1e-6
+        )
+        assert float(jnp.abs(g8).max()) > 0
+
+
+class TestShardMapGenericModel:
+    def test_sharded_step_runs_and_improves(self):
+        """shard_map GenericModel train step: disjoint per-device ray
+        batches, pmean loss/grads (parallel/implicitron.py)."""
+        import optax
+
+        from pytorch3d_tpu.implicitron.models.generic_model import (
+            GenericModel,
+        )
+        from pytorch3d_tpu.implicitron.models.renderer.base import (
+            EvaluationMode,
+        )
+        from pytorch3d_tpu.parallel import make_sharded_generic_train_step
+
+        model = GenericModel(
+            render_image_width=16, render_image_height=16, num_passes=1,
+            chunk_size_grid=0,
+            raysampler_args=dict(
+                n_pts_per_ray_training=4, n_pts_per_ray_evaluation=4,
+                n_rays_per_image_sampled_from_mask=16, scene_extent=3.0,
+            ),
+            implicit_function_args=dict(
+                n_hidden_neurons_xyz=16, n_hidden_neurons_dir=8,
+                n_layers_xyz=2, append_xyz=(1,),
+            ),
+        )
+        R, T = look_at_view_transform(dist=2.7, elev=10.0, azim=30.0)
+        cams = FoVPerspectiveCameras.create(R=R, T=T)
+        img = jnp.broadcast_to(jnp.asarray([0.3, 0.6, 0.2]), (1, 16, 16, 3))
+        fg = jnp.ones((1, 16, 16, 1))
+        batch = dict(image_rgb=img, camera=cams, fg_probability=fg)
+        params = model.init(
+            jax.random.PRNGKey(0), key=jax.random.PRNGKey(2),
+            evaluation_mode=EvaluationMode.TRAINING, **batch
+        )
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        mesh = get_device_mesh((1, 8))
+        step = make_sharded_generic_train_step(
+            model, opt, mesh,
+            static_model_kwargs=dict(
+                evaluation_mode=EvaluationMode.TRAINING
+            ),
+        )
+        losses = []
+        for i in range(4):
+            params, opt_state, loss = step(
+                params, opt_state, batch, jax.random.PRNGKey(i)
+            )
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+
+class TestDistributedHelpers:
+    def test_local_shard_indices(self):
+        from pytorch3d_tpu.parallel import local_shard_indices
+
+        parts = [
+            local_shard_indices(10, process_index=i, process_count=3)
+            for i in range(3)
+        ]
+        flat = [i for p in parts for i in p]
+        assert flat == list(range(10))  # exact disjoint cover
+        assert len(parts[2]) == 4  # tail to the last process
+
+    def test_per_process_loader(self):
+        from pytorch3d_tpu.parallel import PerProcessLoader
+
+        ds = list(range(13))
+        loader = PerProcessLoader(ds, global_batch_size=4)
+        batches = list(loader)
+        assert len(batches) == 3
+        # single-process run: local shard == the whole global batch
+        assert batches[0] == [0, 1, 2, 3]
+
+    def test_maybe_initialize_noop(self):
+        from pytorch3d_tpu.parallel import maybe_initialize_distributed
+
+        assert maybe_initialize_distributed() is False
