@@ -21,6 +21,9 @@ class ImplicitronDataSource(Configurable):
     dataset_map_provider_args: Dict[str, Any] = dataclasses.field(
         default_factory=dict
     )
+    data_loader_map_provider_class_type: str = (
+        "SequenceDataLoaderMapProvider"
+    )
     data_loader_map_provider_args: Dict[str, Any] = dataclasses.field(
         default_factory=dict
     )
@@ -62,13 +65,37 @@ class ImplicitronDataSource(Configurable):
                 splits[split] = ds
             self._provider = None
             self._dataset_map = DatasetMap(**splits)
+        elif (
+            self.dataset_map_provider_class_type
+            == "JsonIndexDatasetMapProviderV2"
+        ):
+            from .json_index_dataset_map_provider_v2 import (
+                JsonIndexDatasetMapProviderV2,
+            )
+
+            self._provider = None
+            self._dataset_map = JsonIndexDatasetMapProviderV2(
+                **self.dataset_map_provider_args
+            ).get_dataset_map()
         else:
             raise ValueError(
                 f"Unknown provider {self.dataset_map_provider_class_type}"
             )
-        self._loader_provider = SequenceDataLoaderMapProvider(
-            **self.data_loader_map_provider_args
-        )
+        if (
+            self.data_loader_map_provider_class_type
+            == "TrainEvalDataLoaderMapProvider"
+        ):
+            from .train_eval_data_loader_provider import (
+                TrainEvalDataLoaderMapProvider,
+            )
+
+            self._loader_provider = TrainEvalDataLoaderMapProvider(
+                **self.data_loader_map_provider_args
+            )
+        else:
+            self._loader_provider = SequenceDataLoaderMapProvider(
+                **self.data_loader_map_provider_args
+            )
 
     def get_datasets_and_dataloaders(self) -> Tuple[DatasetMap, dict]:
         if self._provider is not None:

@@ -68,6 +68,7 @@ class JsonIndexDataset(DatasetBase):
     def __post_init__(self):
         self._frame_annots: List[Dict[str, Any]] = []
         self._seq_annots: Dict[str, Dict[str, Any]] = {}
+        self.eval_batches: Optional[List[List[int]]] = None
         if self.frame_annotations_file:
             self._load_annotations()
 
@@ -138,6 +139,89 @@ class JsonIndexDataset(DatasetBase):
         ]
         for _, i in sorted(frames):
             yield i
+
+    def seq_frame_index_to_dataset_index(
+        self,
+        seq_frame_index: Sequence[Sequence[Sequence]],
+        allow_missing_indices: bool = False,
+        remove_missing_indices: bool = False,
+    ) -> List[List[Optional[int]]]:
+        """Map batches of (sequence_name, frame_number[, path]) tuples to
+        dataset indices (reference json_index_dataset.py:211)."""
+        lookup = {
+            (f["sequence_name"], int(f.get("frame_number", 0))): i
+            for i, f in enumerate(self._frame_annots)
+        }
+        out: List[List[Optional[int]]] = []
+        for batch in seq_frame_index:
+            idxs: List[Optional[int]] = []
+            for entry in batch:
+                seq, fno = entry[0], int(entry[1])
+                i = lookup.get((seq, fno))
+                if i is None:
+                    if not allow_missing_indices:
+                        raise IndexError(
+                            f"Missing frame ({seq}, {fno}) in the dataset."
+                        )
+                    if remove_missing_indices:
+                        continue
+                idxs.append(i)
+            out.append(idxs)
+        return out
+
+    def subset_from_frame_index(
+        self,
+        frame_index: Sequence[Sequence],
+        allow_missing_indices: bool = True,
+    ) -> "JsonIndexDataset":
+        """New dataset restricted to (sequence_name, frame_number[, path])
+        entries, in the given order (reference json_index_dataset.py:264)."""
+        import copy as _copy
+
+        lookup = {
+            (f["sequence_name"], int(f.get("frame_number", 0))): i
+            for i, f in enumerate(self._frame_annots)
+        }
+        keep: List[int] = []
+        for entry in frame_index:
+            key = (entry[0], int(entry[1]))
+            i = lookup.get(key)
+            if i is None:
+                if not allow_missing_indices:
+                    raise IndexError(f"Missing frame {key} in the dataset.")
+                continue
+            keep.append(i)
+        new = _copy.copy(self)
+        new._frame_annots = [self._frame_annots[i] for i in keep]
+        new._seq_annots = self._seq_annots
+        new.eval_batches = None
+        return new
+
+    def get_eval_batches(self) -> Optional[List[List[int]]]:
+        return self.eval_batches
+
+    def get_all_train_cameras(self):
+        """Batch of cameras of every frame with a viewpoint (reference
+        json_index_dataset.py:293)."""
+        import jax.numpy as _jnp
+
+        Rs, Ts, fls, pps = [], [], [], []
+        for f in self._frame_annots:
+            vp = f.get("viewpoint", {})
+            if not vp:
+                continue
+            Rs.append(vp["R"])
+            Ts.append(vp["T"])
+            fls.append(vp["focal_length"])
+            pps.append(vp["principal_point"])
+        if not Rs:
+            return None
+        return PerspectiveCameras.create(
+            R=_jnp.asarray(Rs, _jnp.float32),
+            T=_jnp.asarray(Ts, _jnp.float32),
+            focal_length=_jnp.asarray(fls, _jnp.float32),
+            principal_point=_jnp.asarray(pps, _jnp.float32),
+        )
 
     def _resolve(self, path: str) -> str:
         return os.path.join(self.dataset_root, path) if self.dataset_root else path
