@@ -1,0 +1,109 @@
+"""Compiled Pallas-vs-XLA-oracle parity at production sizes (real TPU).
+
+The CPU test suite validates the XLA oracle against the reference at up
+to 128^2 (tests/test_reference_parity_scale.py); this script closes the
+ladder by comparing the compiled Pallas path against the oracle at
+256/512/1024^2 on real hardware — the sizes where binning/SMEM-streaming
+bugs would hide.  Writes PARITY_TPU.json.
+
+Run (cwd=/root/repo, no PYTHONPATH): python -m benchmarks.tpu_parity
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch3d_tpu.renderer import (
+    FoVPerspectiveCameras,
+    MeshRasterizer,
+    RasterizationSettings,
+    look_at_view_transform,
+)
+from pytorch3d_tpu.renderer.mesh import rasterize_pallas as rp
+from pytorch3d_tpu.renderer.mesh.rasterize_meshes import (
+    interpolate_fragments,
+    rasterize_topk_xla,
+)
+from pytorch3d_tpu.utils import ico_sphere
+
+
+def faces_for(level, size):
+    mesh = ico_sphere(level)
+    R, T = look_at_view_transform(dist=2.7, elev=20.0, azim=30.0)
+    cams = FoVPerspectiveCameras.create(R=R, T=T)
+    rast = MeshRasterizer(
+        cams, RasterizationSettings(image_size=size)
+    )
+    tm = rast.transform(mesh)
+    fv = tm.verts_padded()[0][tm.faces_padded()[0]]
+    valid = tm.faces_padded()[0, :, 0] >= 0
+    return fv, valid
+
+
+def one_config(level, size, K, blur, perspective_correct):
+    fv, valid = faces_for(level, size)
+    idx_p = np.asarray(
+        rp.rasterize_topk_pallas(
+            fv, valid, (size, size), blur, K,
+            perspective_correct=perspective_correct,
+        )
+    )
+    idx_x = np.asarray(
+        rasterize_topk_xla(
+            fv, valid, (size, size), blur, K,
+            perspective_correct=perspective_correct,
+        )
+    )
+    select_equal = float((idx_p == idx_x).mean())
+
+    # fused fragments vs oracle-selected + interpolated
+    pix, zb, ba, di = rp.rasterize_fragments_pallas(
+        fv, valid, (size, size), blur, K,
+        perspective_correct=perspective_correct,
+    )
+    zb2, ba2, di2 = interpolate_fragments(
+        fv, jnp.asarray(idx_x), (size, size), perspective_correct, False
+    )
+    frag_sel_equal = float((np.asarray(pix) == idx_x).mean())
+    both = (np.asarray(pix) == idx_x) & (idx_x >= 0)
+    dz = float(np.abs(np.asarray(zb) - np.asarray(zb2))[both].max()) if both.any() else 0.0
+    dd = float(np.abs(np.asarray(di) - np.asarray(di2))[both].max()) if both.any() else 0.0
+    return {
+        "config": f"ico{level}_{size}px_K{K}_blur{blur}"
+        + ("_persp" if perspective_correct else ""),
+        "select_pix_equal_frac": select_equal,
+        "frag_pix_equal_frac": frag_sel_equal,
+        "zbuf_max_abs_diff": dz,
+        "dists_max_abs_diff": dd,
+    }
+
+
+def main():
+    assert jax.default_backend() == "tpu", "run on the TPU chip"
+    rows = []
+    for cfg in [
+        (2, 256, 4, 0.0, True),
+        (4, 512, 8, 1e-4, True),
+        (5, 512, 8, 1e-4, False),
+        (6, 1024, 8, 1e-5, True),
+    ]:
+        row = one_config(*cfg)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    ok = all(
+        r["select_pix_equal_frac"] > 0.9999
+        and r["frag_pix_equal_frac"] > 0.9999
+        and r["zbuf_max_abs_diff"] < 1e-4
+        for r in rows
+    )
+    with open("PARITY_TPU.json", "w") as f:
+        json.dump({"all_ok": ok, "rows": rows}, f, indent=1)
+    print("PARITY_TPU.json written, all_ok =", ok)
+
+
+if __name__ == "__main__":
+    main()

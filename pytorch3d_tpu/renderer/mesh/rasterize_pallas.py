@@ -44,6 +44,10 @@ from .rasterize_meshes import kEpsilon, pix_to_non_square_ndc
 
 _TILE_H = 32  # pixel-tile rows (4 VPU sublane groups)
 _TILE_W = 128  # pixel-tile cols (one full lane dim)
+# face-loop unroll (independent geometry chains per step; see _fine_kernel)
+import os as _os
+
+_UNROLL = int(_os.environ.get("P3D_RASTER_UNROLL", "4"))
 _CHUNK = 1024  # faces per streamed SMEM chunk (shared by select + grad)
 _MFT_HARD_CAP = 32768  # absolute per-tile face-list capacity (32 chunks)
 
@@ -260,7 +264,7 @@ def _fine_kernel(
 
     n_live = jnp.clip(count_ref[0, 0] - c * CH, 0, CH)
 
-    def body(j, best):
+    def candidate(j):
         # ---- scalar-unit precomputation from the SMEM face coords ----
         v0x = fv_ref[0, j]
         v0y = fv_ref[1, j]
@@ -328,36 +332,47 @@ def _fine_kernel(
         covers = covers & (pz >= 0.0) & jnp.logical_not(zero_area)
 
         cz = jnp.where(covers, pz, jnp.inf)
+        ci = jnp.where(covers, fid, -1)
+        if emit_fragments:
+            sdist = jnp.where(inside, -d2, d2)
+            return (cz, ci, wz0, wz1, wz2, sdist)
+        return (cz, ci)
 
-        def insert(best):
-            ci = jnp.where(covers, fid, -1)
-            if emit_fragments:
-                sdist = jnp.where(inside, -d2, d2)
-                cand = (cz, ci, wz0, wz1, wz2, sdist)
-            else:
-                cand = (cz, ci)
-            cur = cand
-            new_slots = []
-            for k in range(K):
-                take = cur[0] < best[k][0]
-                merged = tuple(
-                    jnp.where(take, cur[i], best[k][i])
-                    for i in range(len(cur))
-                )
-                cur = tuple(
-                    jnp.where(take, best[k][i], cur[i])
-                    for i in range(len(cur))
-                )
-                new_slots.append(merged)
-            return tuple(new_slots)
+    def insert(cand, best):
+        cur = cand
+        new_slots = []
+        for k in range(K):
+            take = cur[0] < best[k][0]
+            merged = tuple(
+                jnp.where(take, cur[i], best[k][i])
+                for i in range(len(cur))
+            )
+            cur = tuple(
+                jnp.where(take, best[k][i], cur[i])
+                for i in range(len(cur))
+            )
+            new_slots.append(merged)
+        return tuple(new_slots)
 
-        # NOTE: a tau-skip (lax.cond around the insertion chain when no
-        # pixel can accept the face) was measured SLOWER on v5e (+34% at
-        # ico4/512, +74% on the emit path): Mosaic round-trips the large
-        # loop carry through VMEM at the cond boundary every iteration,
-        # which costs more than the skipped vector ops. Keep the chain
-        # unconditional.
-        return insert(best)
+    # NOTE: a tau-skip (lax.cond around the insertion chain when no
+    # pixel can accept the face) was measured SLOWER on v5e (+34% at
+    # ico4/512, +74% on the emit path): Mosaic round-trips the large
+    # loop carry through VMEM at the cond boundary every iteration,
+    # which costs more than the skipped vector ops. Keep the chain
+    # unconditional.
+    #
+    # The face loop is UNROLLED: each step evaluates _UNROLL independent
+    # candidate geometry chains before their (serial) insertions, so the
+    # per-face latency chains overlap — the kernel is latency-bound, not
+    # issue-bound (measured ~0.8 vector-ops/cycle vs ~13/cycle peak).
+    # Overshooting n_live is safe: binning pads dead slots with z=-1
+    # coords whose candidates never cover.
+    def body(b, best):
+        j0 = b * _UNROLL
+        cands = [candidate(j0 + u) for u in range(_UNROLL)]
+        for cand in cands:
+            best = insert(cand, best)
+        return best
 
     @pl.when(n_live > 0)
     def _work():
@@ -371,7 +386,8 @@ def _fine_kernel(
             )
         else:
             best = tuple((zscr[k], idx_out[k]) for k in range(K))
-        best = jax.lax.fori_loop(0, n_live, body, best)
+        n_blocks = (n_live + _UNROLL - 1) // _UNROLL
+        best = jax.lax.fori_loop(0, n_blocks, body, best)
         for k in range(K):
             idx_out[k] = best[k][1]
             if emit_fragments:
@@ -538,10 +554,8 @@ def _grad_kernel(
         cgb = [jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(3)]
         cgd = jnp.zeros((tile_h, tile_w), jnp.float32)
         hit = (fid >= 0)
-        any_hit = False
         for k in range(K):
             m = (idx_all[k] == fid) & hit
-            any_hit = any_hit | m
             mf = m.astype(jnp.float32)
             cgz = cgz + mf * gz_all[k]
             for ch in range(3):
@@ -583,35 +597,34 @@ def _grad_kernel(
                 + cgd * sdist
             )
 
-        def do_grad(_):
-            return jax.grad(local_loss, argnums=tuple(range(9)))(
-                fv_ref[0, j], fv_ref[1, j], fv_ref[2, j],
-                fv_ref[3, j], fv_ref[4, j], fv_ref[5, j],
-                fv_ref[6, j], fv_ref[7, j], fv_ref[8, j],
-            )
-
-        # most faces in a dense tile are never selected by any pixel:
-        # skip their whole gradient computation (the per-face dominant
-        # cost) on a tile-uniform branch.
-        grads = jax.lax.cond(
-            jnp.any(any_hit),
-            do_grad,
-            lambda _: tuple(jnp.float32(0.0) for _ in range(9)),
-            0,
+        grads = jax.grad(local_loss, argnums=tuple(range(9)))(
+            fv_ref[0, j], fv_ref[1, j], fv_ref[2, j],
+            fv_ref[3, j], fv_ref[4, j], fv_ref[5, j],
+            fv_ref[6, j], fv_ref[7, j], fv_ref[8, j],
         )
         for r in range(9):
             gout_ref[r, j] = grads[r]
         return 0
 
-    # zero the dead slots' outputs, then process only live faces
+    # zero the dead slots' outputs, then process only live faces.
+    # Unrolled like the forward kernel (_UNROLL independent grad chains
+    # per step — the kernel is latency-bound); overshooting n_live is
+    # safe: dead slots have z=-1 coords, no selected pixels, and their
+    # outputs are pre-zeroed by zero_body (body writes a 0 gradient).
     def zero_body(j, _):
         for r in range(9):
             gout_ref[r, j] = 0.0
         return 0
 
+    def block_body(b, _):
+        for u in range(_UNROLL):
+            body(b * _UNROLL + u, 0)
+        return 0
+
     n_live = jnp.clip(count_ref[0, 0] - c * CH, 0, CH)
     jax.lax.fori_loop(n_live, CH, zero_body, 0)
-    jax.lax.fori_loop(0, n_live, body, 0)
+    n_blocks = (n_live + _UNROLL - 1) // _UNROLL
+    jax.lax.fori_loop(0, n_blocks, block_body, 0)
 
 
 @functools.partial(
