@@ -43,6 +43,7 @@ class Renderer:
         max_num_balls: int,
         orthogonal_projection: bool = False,
         right_handed_system: bool = False,
+        background_normalized_depth: float = 0.0,
         n_channels: int = 3,
         n_track: int = 5,
     ) -> None:
@@ -51,6 +52,7 @@ class Renderer:
         self._max_num_balls = max_num_balls
         self._orthogonal = orthogonal_projection
         self._right_handed = right_handed_system
+        self._bg_norm_depth = background_normalized_depth
         self._n_channels = n_channels
         self._n_track = n_track
 
@@ -86,7 +88,8 @@ class Renderer:
         focal = cam_params[6]
         sensor_width = cam_params[7]
         if bg_col is None:
-            bg_col = jnp.zeros((C,), vert_col.dtype)
+            # reference renderer.py:71: None means all ones
+            bg_col = jnp.ones((C,), vert_col.dtype)
         if opacity is None:
             opacity = jnp.ones((P,), vert_pos.dtype)
 
@@ -105,6 +108,17 @@ class Renderer:
             y_ndc = view[:, 1] * inv_z * scale
             r_ndc = vert_rad * inv_z * scale
 
+        # principal-point offsets in pixels ride in cam_params[8:10]
+        # (reference unified.py:502 builds the 10-float layout)
+        if cam_params.shape[0] >= 10:
+            x_ndc = x_ndc + cam_params[8] / (0.5 * W)
+            y_ndc = y_ndc + cam_params[9] / (0.5 * H)
+
+        # pulsar's image +x is RIGHT; the shared point rasterizer and the
+        # closeness recompute below use PyTorch3D NDC (+x LEFT) -> negate
+        # x once here (verified against the reference multiview goldens,
+        # which are otherwise mirrored)
+        x_ndc = -x_ndc
         pts_ndc = jnp.stack([x_ndc, y_ndc, z], axis=-1)
         valid = (z > min_depth) & (z < max_depth)
 
@@ -131,14 +145,23 @@ class Renderer:
         z_norm = 1.0 - (cz - min_depth) / (max_depth - min_depth)
         z_norm = jnp.clip(z_norm, 0.0, 1.0)
 
+        bg_logit = self._bg_norm_depth / gamma
         logit = jnp.where(hit, co * z_norm / gamma, -jnp.inf)
         logit_max = jnp.maximum(
-            jnp.max(logit, axis=-1), 0.0
-        )  # include the background logit (z'_bg = 0) in the max shift
+            jnp.max(logit, axis=-1), bg_logit
+        )  # include the background logit in the max shift
         w_raw = co * closeness * jnp.exp(logit - logit_max[..., None])
         w_raw = jnp.where(hit, w_raw, 0.0)
-        w_bg = jnp.exp(0.0 - logit_max)
+        w_bg = jnp.exp(bg_logit - logit_max)
         denom = jnp.sum(w_raw, axis=-1) + w_bg
+
+        if mode == 1:
+            # hit map: number of spheres whose silhouette covers the
+            # pixel (reference mode=1 "render the hit map", ext.cpp)
+            hits = jnp.sum(
+                (hit & (closeness > 0.0)).astype(vert_pos.dtype), axis=-1
+            )
+            return hits[..., None]
 
         cols = vert_col[sel]  # (H, W, K, C)
         image = (

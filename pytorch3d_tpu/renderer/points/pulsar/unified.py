@@ -1,11 +1,17 @@
 """PulsarPointsRenderer: pulsar with the standard PyTorch3D camera/
 Pointclouds interface.
 
-Parity: reference renderer/points/pulsar/unified.py:37.
+Parity: reference renderer/points/pulsar/unified.py:37
+(`PulsarPointsRenderer`): consumes FoVPerspective / FoVOrthographic /
+Perspective / Orthographic cameras and Pointclouds, converts to the
+pulsar 10-float cam_params layout
+[pos(3), axis-angle(3), focal, sensor_width, ppx_px, ppy_px]
+(unified.py:502), and renders each cloud.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -29,48 +35,96 @@ class PulsarPointsRenderer:
         image_size = rasterizer.raster_settings.image_size
         if isinstance(image_size, int):
             image_size = (image_size, image_size)
+        self._image_size = image_size
+        cameras = rasterizer.cameras
+        orthogonal = (
+            cameras is not None and not cameras.is_perspective()
+        )
         self.renderer = Renderer(
             width=image_size[1],
             height=image_size[0],
             max_num_balls=max_num_spheres,
+            orthogonal_projection=orthogonal,
             n_channels=n_channels,
         )
 
-    def _extract_cam_params(self, cameras, znear: float):
-        """Convert a PyTorch3D camera to the pulsar 8-vector."""
-        R = cameras.R[0]  # (3, 3) row-vector world->view
-        T = cameras.T[0]
-        # camera center C = -T R^T (row conv)
-        C = -(T @ jnp.swapaxes(R, 0, 1))
+    # ------------------------------------------------------------------ #
+
+    def _extract_extrinsics(self, cameras, idx: int):
+        R = cameras.R[idx]  # (3, 3) row-vector world->view
+        T = cameras.T[idx]
+        C = -(T @ jnp.swapaxes(R, 0, 1))  # camera center
         axis_angle = matrix_to_axis_angle(R)
-        if hasattr(cameras, "fov"):
-            fov = cameras.fov[0]
+        return C, axis_angle
+
+    def _extract_intrinsics(self, cameras, idx: int, znear, zfar):
+        """(focal, sensor_width, ppx_px, ppy_px) per the reference's
+        conversion (unified.py:179)."""
+        H, W = self._image_size
+        ppx = ppy = 0.0
+        if hasattr(cameras, "fov"):  # FoVPerspectiveCameras
+            fov = jnp.asarray(cameras.fov).reshape(-1)[
+                min(idx, jnp.asarray(cameras.fov).reshape(-1).shape[0] - 1)
+            ]
             if getattr(cameras, "degrees", True):
-                fov = fov * jnp.pi / 180.0
-            focal = znear
-            sensor = 2.0 * znear * jnp.tan(fov / 2.0)
-        else:
-            focal_ndc = jnp.asarray(cameras.focal_length)[0]
-            f = focal_ndc[0] if focal_ndc.ndim > 0 else focal_ndc
-            focal = znear
-            sensor = 2.0 * znear / f
+                fov = fov * math.pi / 180.0
+            focal = znear - 1e-6
+            sensor = jnp.tan(fov / 2.0) * 2.0 * focal
+        elif hasattr(cameras, "max_x"):  # FoVOrthographicCameras
+            max_x = float(jnp.asarray(cameras.max_x).reshape(-1)[0])
+            min_x = float(jnp.asarray(cameras.min_x).reshape(-1)[0])
+            focal = 0.0
+            sensor = max_x - min_x
+        else:  # Perspective / Orthographic (NDC focal_length convention)
+            fl = jnp.asarray(cameras.focal_length)
+            fl = fl.reshape(-1, fl.shape[-1]) if fl.ndim > 1 else fl.reshape(1, -1)
+            f = fl[min(idx, fl.shape[0] - 1), 0]
+            if cameras.is_perspective():
+                focal = znear - 1e-6
+                sensor = focal / f * 2.0
+            else:
+                focal = 0.0
+                sensor = 2.0 / f
+            pp = getattr(cameras, "principal_point", None)
+            if pp is not None:
+                pp = jnp.asarray(pp).reshape(-1, 2)
+                ppx = float(pp[min(idx, pp.shape[0] - 1), 0]) * 0.5 * W
+                ppy = float(pp[min(idx, pp.shape[0] - 1), 1]) * 0.5 * H
+        return focal, sensor, ppx, ppy
+
+    def _cam_params(self, cameras, idx: int, znear, zfar):
+        C, axis_angle = self._extract_extrinsics(cameras, idx)
+        focal, sensor, ppx, ppy = self._extract_intrinsics(
+            cameras, idx, znear, zfar
+        )
         return jnp.concatenate(
-            [C, axis_angle, jnp.asarray([focal, sensor])]
+            [
+                C,
+                axis_angle,
+                jnp.asarray(
+                    [focal, sensor, ppx, ppy], jnp.float32
+                ).reshape(-1),
+            ]
         )
 
     def __call__(
         self,
         point_clouds,
         gamma: Tuple[float, ...] = (1e-4,),
-        znear: float = 0.1,
-        zfar: float = 100.0,
+        znear=(0.1,),
+        zfar=(100.0,),
         bg_col: Optional[jnp.ndarray] = None,
         **kwargs,
     ) -> jnp.ndarray:
         cameras = kwargs.get("cameras", self.rasterizer.cameras)
+        if isinstance(znear, (int, float)):
+            znear = (float(znear),)
+        if isinstance(zfar, (int, float)):
+            zfar = (float(zfar),)
         images = []
         N = len(point_clouds)
         rs = self.rasterizer.raster_settings
+        n_cams = cameras.R.shape[0]
         for i in range(N):
             n = int(point_clouds.num_points_per_cloud()[i])
             pts = point_clouds.points_padded()[i][:n]
@@ -86,9 +140,10 @@ class PulsarPointsRenderer:
                 if isinstance(radius, (int, float))
                 else jnp.asarray(radius)[:n]
             )
-            cam_i = cameras if N == 1 else None
-            cam_params = self._extract_cam_params(
-                cam_i if cam_i is not None else cameras, znear
+            zn = znear[min(i, len(znear) - 1)]
+            zf = zfar[min(i, len(zfar) - 1)]
+            cam_params = self._cam_params(
+                cameras, min(i, n_cams - 1), zn, zf
             )
             images.append(
                 self.renderer(
@@ -97,9 +152,10 @@ class PulsarPointsRenderer:
                     rad,
                     cam_params,
                     gamma[min(i, len(gamma) - 1)],
-                    max_depth=zfar,
-                    min_depth=znear,
+                    max_depth=zf,
+                    min_depth=zn,
                     bg_col=bg_col,
+                    mode=kwargs.get("mode", 0),
                 )
             )
         return jnp.stack(images)

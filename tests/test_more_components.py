@@ -52,7 +52,8 @@ class TestPulsar:
 
         def loss(p):
             img = rend(p, jnp.ones((1, 3)), jnp.asarray([0.5]), cam,
-                       gamma=0.1, max_depth=10.0, min_depth=0.1)
+                       gamma=0.1, max_depth=10.0, min_depth=0.1,
+                       bg_col=jnp.zeros((3,)))
             return jnp.sum(img[:, :8])  # left half
 
         g = jax.grad(loss)(pos)

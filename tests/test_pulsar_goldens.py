@@ -1,0 +1,153 @@
+"""Pulsar parity against the reference's shipped golden renders.
+
+Reproduces the exact scenes of /root/reference/tests/pulsar: the
+multiview scene (create_multiview.py: torch.manual_seed(1), 10 spheres,
+8 camera angles, CUDA-rendered goldens in tests/pulsar/reference/) and
+the basic one-sphere forward tests (test_forward.py) — rendered with the
+TPU softmax-blend reimplementation and compared pixel-wise.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from pytorch3d_tpu.renderer.points.pulsar import Renderer
+
+REF = "/root/reference/tests/pulsar/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference pulsar goldens not available"
+)
+
+
+def _multiview_scene():
+    torch.manual_seed(1)
+    n = 10
+    vert_pos = torch.rand(n, 3) * 10.0
+    vert_pos[:, 2] += 25.0
+    vert_pos[:, :2] -= 5.0
+    vert_col = torch.rand(n, 3) * 0.5
+    vert_rad = torch.rand(n)
+    return (
+        jnp.asarray(vert_pos.numpy()),
+        jnp.asarray(vert_col.numpy()),
+        jnp.asarray(vert_rad.numpy()),
+    )
+
+
+class TestMultiviewGoldens:
+    @pytest.mark.parametrize(
+        "idx,angle", [(0, -1.5), (3, -0.1), (5, 0.4), (7, 1.5)]
+    )
+    def test_view_matches_golden(self, idx, angle):
+        from PIL import Image
+
+        pos, col, rad = _multiview_scene()
+        ren = Renderer(1000, 1000, 10)
+        cam = jnp.asarray(
+            [
+                np.sin(angle) * 35.0, 0.0, 30.0 - np.cos(angle) * 35.0,
+                0.0, -angle, 0.0, 5.0, 2.0,
+            ],
+            jnp.float32,
+        )
+        img = np.asarray(ren.forward(pos, col, rad, cam, 0.1, 45.0))
+        ref = (
+            np.asarray(
+                Image.open(
+                    f"{REF}/examples_TestRenderer_test_multiview_{idx}.png"
+                ),
+                np.float32,
+            )
+            / 255.0
+        )
+        mad = float(np.abs(img - ref).mean())
+        assert mad < 0.02, f"view {idx}: mean abs diff {mad}"
+        # silhouettes must agree closely (non-white = sphere)
+        fg_mine = img.sum(-1) < 2.9
+        fg_ref = ref.sum(-1) < 2.9
+        assert np.mean(fg_mine != fg_ref) < 0.01
+
+
+class TestBasicForward:
+    def _one_sphere(self, **renderer_kwargs):
+        ren = Renderer(200, 200, 1, **renderer_kwargs)
+        pos = jnp.asarray([[0.0, 0.0, 25.0]])
+        col = jnp.asarray([[0.3, 0.5, 0.7]])
+        rad = jnp.asarray([1.0])
+        cam = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 5.0, 2.0])
+        return ren, pos, col, rad, cam
+
+    def test_center_color(self):
+        """reference test_forward.py:test_basic_3chan: the sphere center
+        must show the sphere color."""
+        ren, pos, col, rad, cam = self._one_sphere()
+        img = np.asarray(ren.forward(pos, col, rad, cam, 1e-1, 45.0))
+        np.testing.assert_allclose(
+            img[100, 100], [0.3, 0.5, 0.7], atol=2e-2
+        )
+
+    def test_hit_map_mode(self):
+        """mode=1 renders per-pixel hit counts (reference :77)."""
+        ren, pos, col, rad, cam = self._one_sphere()
+        hits = np.asarray(
+            ren.forward(pos, col, rad, cam, 1e-1, 45.0, mode=1)
+        )
+        assert hits.shape == (200, 200, 1)
+        assert hits[100, 100, 0] == 1.0
+        assert hits[0, 0, 0] == 0.0
+
+    def test_bg_weight(self):
+        """reference test_forward.py:test_bg_weight: with
+        background_normalized_depth=0.999 the background dominates and
+        the center pixel renders (nearly) the white background."""
+        ren, pos, col, rad, cam = self._one_sphere(
+            background_normalized_depth=0.999
+        )
+        img = np.asarray(ren.forward(pos, col, rad, cam, 1e-1, 45.0))
+        np.testing.assert_allclose(
+            img[100, 100], [1.0, 1.0, 1.0], rtol=1e-2, atol=1e-2
+        )
+        # but the hit map still registers the sphere
+        hits = np.asarray(
+            ren.forward(pos, col, rad, cam, 1e-1, 45.0, mode=1)
+        )
+        assert hits[100, 100, 0] == 1.0
+
+    def test_opacity_gradient(self):
+        """Opacity must be differentiable: lowering opacity fades the
+        sphere toward the background; d(center luminance)/d(opacity) is
+        negative (color darker than white bg)."""
+        import jax
+
+        ren, pos, col, rad, cam = self._one_sphere()
+
+        def center_lum(op):
+            img = ren.forward(
+                pos, col, rad, cam, 1e-1, 45.0,
+                opacity=jnp.asarray([op]),
+            )
+            return jnp.mean(img[100, 100])
+
+        g = float(jax.grad(center_lum)(0.5))
+        assert np.isfinite(g) and g < 0
+        full = float(center_lum(1.0))
+        half = float(center_lum(0.25))
+        assert half > full  # fading toward white background
+
+    def test_principal_point_shift(self):
+        """cam_params[8:10] principal-point pixel offsets shift the
+        projection (reference unified.py 10-float layout)."""
+        ren, pos, col, rad, cam = self._one_sphere()
+        base = np.asarray(ren.forward(pos, col, rad, cam, 1e-1, 45.0))
+        cam10 = jnp.concatenate([cam, jnp.asarray([40.0, 0.0])])
+        shifted = np.asarray(
+            ren.forward(pos, col, rad, cam10, 1e-1, 45.0)
+        )
+        # the sphere (dark on white) moved horizontally by ~40 px
+        cx_base = np.argmin(base.sum(-1).min(axis=0))
+        cx_shift = np.argmin(shifted.sum(-1).min(axis=0))
+        assert abs(abs(int(cx_base) - int(cx_shift)) - 40) <= 3
