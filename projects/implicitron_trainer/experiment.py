@@ -58,8 +58,38 @@ class ImplicitronOptimizerFactory(Configurable):
     exponential_lr_step_size: int = 250
     linear_exponential_lr_milestone: int = 200
     linear_exponential_start_gamma: float = 0.1
+    # linear warmup prepended to any policy (0 = off)
+    warmup_steps: int = 0
+    # Per-module parameter groups (reference optimizer_factory.py:255):
+    # `param_groups` maps a parameter-path SUBSTRING (of the
+    # '/'-joined flax param path) to a group name; the longest matching
+    # pattern wins, unmatched parameters go to "default".
+    # `group_learning_rates` maps group names to LR multipliers applied
+    # on top of the base schedule (reference _get_group_learning_rate).
+    param_groups: Optional[Dict[str, str]] = None
+    group_learning_rates: Optional[Dict[str, float]] = None
 
-    def __call__(self, total_epochs: int, iters_per_epoch: int = 1):
+    def param_group_labels(self, params):
+        """Label pytree for optax.multi_transform: each parameter gets its
+        group name by longest-substring match of its '/'-joined path."""
+        import jax
+
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+        def label_of(path):
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            best, best_len = "default", -1
+            for pat, group in (self.param_groups or {}).items():
+                if pat in name and len(pat) > best_len:
+                    best, best_len = group, len(pat)
+            return best
+
+        labels = [label_of(p) for p, _ in flat]
+        treedef = jax.tree_util.tree_structure(params)
+        return jax.tree_util.tree_unflatten(treedef, labels)
+
+    def __call__(self, total_epochs: int, iters_per_epoch: int = 1,
+                 params=None):
         if self.lr_policy == "MultiStepLR":
             boundaries = {
                 m * iters_per_epoch: self.gamma for m in self.milestones
@@ -91,19 +121,43 @@ class ImplicitronOptimizerFactory(Configurable):
         else:
             raise ValueError(f"Unknown lr policy {self.lr_policy}")
 
-        if self.breed == "Adam":
-            opt = optax.adam(schedule, b1=self.betas[0], b2=self.betas[1])
-        elif self.breed == "AdamW":
-            opt = optax.adamw(schedule, weight_decay=self.weight_decay)
-        elif self.breed == "SGD":
-            opt = optax.sgd(schedule, momentum=self.momentum)
-        else:
-            raise ValueError(f"Unknown optimizer breed {self.breed}")
-        if self.weight_decay > 0 and self.breed != "AdamW":
-            opt = optax.chain(
-                optax.add_decayed_weights(self.weight_decay), opt
+        if self.warmup_steps > 0:
+            base = schedule
+            warmup = optax.linear_schedule(0.0, 1.0, self.warmup_steps)
+
+            def schedule(step, _base=base, _w=warmup):  # noqa: F811
+                return _base(step) * _w(step)
+
+        def build(scale: float = 1.0):
+            sched = (
+                schedule
+                if scale == 1.0
+                else (lambda s, _sc=scale: schedule(s) * _sc)
             )
-        return opt
+            if self.breed == "Adam":
+                opt = optax.adam(
+                    sched, b1=self.betas[0], b2=self.betas[1]
+                )
+            elif self.breed == "AdamW":
+                opt = optax.adamw(sched, weight_decay=self.weight_decay)
+            elif self.breed == "SGD":
+                opt = optax.sgd(sched, momentum=self.momentum)
+            else:
+                raise ValueError(f"Unknown optimizer breed {self.breed}")
+            if self.weight_decay > 0 and self.breed != "AdamW":
+                opt = optax.chain(
+                    optax.add_decayed_weights(self.weight_decay), opt
+                )
+            return opt
+
+        if not self.param_groups or params is None:
+            return build()
+
+        groups = {"default"} | set(self.param_groups.values())
+        glr = self.group_learning_rates or {}
+        transforms = {g: build(glr.get(g, 1.0)) for g in groups}
+        labels = self.param_group_labels(params)
+        return optax.multi_transform(transforms, labels)
 
 
 @dataclasses.dataclass
@@ -203,6 +257,10 @@ class Experiment(Configurable):
     resume: bool = True
     model_args: Optional[Dict[str, Any]] = None
     dataset_args: Optional[Dict[str, Any]] = None
+    # full data-source selection (provider class + args), the analog of
+    # the reference's data_source_ImplicitronDataSource_args; when set it
+    # overrides dataset_args
+    data_source_args: Optional[Dict[str, Any]] = None
     optimizer_factory: ImplicitronOptimizerFactory = None
     training_loop: ImplicitronTrainingLoop = None
 
@@ -210,11 +268,20 @@ class Experiment(Configurable):
         run_auto_creation(self)
 
     def run(self):
-        print("[setup] rendering in-process dataset...", flush=True)
-        provider = RenderedMeshDatasetMapProvider(
-            **(self.dataset_args or {})
-        )
-        datasets = provider.get_dataset_map()
+        if self.data_source_args:
+            print("[setup] building data source...", flush=True)
+            from pytorch3d_tpu.implicitron.dataset.data_source import (
+                ImplicitronDataSource,
+            )
+
+            source = ImplicitronDataSource(**self.data_source_args)
+            datasets, _ = source.get_datasets_and_dataloaders()
+        else:
+            print("[setup] rendering in-process dataset...", flush=True)
+            provider = RenderedMeshDatasetMapProvider(
+                **(self.dataset_args or {})
+            )
+            datasets = provider.get_dataset_map()
 
         print("[setup] building + initializing model...", flush=True)
         model = GenericModel(**(self.model_args or {}))
@@ -228,7 +295,8 @@ class Experiment(Configurable):
             evaluation_mode=EvaluationMode.TRAINING,
         )
         optimizer = self.optimizer_factory(
-            self.training_loop.max_epochs, len(datasets["train"])
+            self.training_loop.max_epochs, len(datasets["train"]),
+            params=params,
         )
         opt_state = optimizer.init(params)
 
@@ -273,6 +341,25 @@ def load_config(path: str):
 
     with open(path) as f:
         override = yaml.safe_load(f) or {}
+    # `base:` chains configs (the reference's hydra `defaults:` list)
+    base = override.pop("base", None)
+    if base is not None:
+        import os as _os
+
+        bases = base if isinstance(base, list) else [base]
+        cfg = {}
+        for b in bases:
+            bcfg = load_config(_os.path.join(_os.path.dirname(path), b))
+            _deep_update(cfg, bcfg)
+        def tuplify0(d):
+            for k, v in d.items():
+                if isinstance(v, list):
+                    d[k] = tuple(v)
+                elif isinstance(v, dict):
+                    tuplify0(v)
+        tuplify0(override)
+        _deep_update(cfg, override)
+        return cfg
     cfg = get_default_args(Experiment)
     # convert lists to tuples where dataclass defaults expect tuples
     def tuplify(d):

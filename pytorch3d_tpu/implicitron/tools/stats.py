@@ -116,6 +116,69 @@ class Stats:
     def print(self, stat_set: str = "train", max_it=None) -> None:
         print(self.get_status_string(stat_set, max_it))
 
+    def plot_stats(
+        self,
+        viz=None,
+        plot_file: Optional[str] = None,
+        visdom_env: Optional[str] = None,
+    ) -> None:
+        """Plot per-epoch averages of every log_var across stat sets
+        (reference stats.py:340).  With a visdom connection `viz` plots
+        there; always writes a matplotlib PNG when `plot_file` (or
+        self.plot_file) is set."""
+        plot_file = plot_file or self.plot_file
+        novisdom = viz is None or not getattr(viz, "check_connection", lambda: False)()
+        histories = {
+            ss: {
+                k: m.get_epoch_averages()
+                for k, m in d.items()
+            }
+            for ss, d in self.stats.items()
+        }
+        if not novisdom:
+            for stat, per_set in self._stat_series(histories).items():
+                for ss, ys in per_set.items():
+                    viz.line(
+                        ys,
+                        X=list(range(len(ys))),
+                        env=visdom_env or "main",
+                        win=f"stat_plot_{stat}",
+                        name=ss,
+                        update="replace",
+                        opts={"title": stat, "legend": list(per_set)},
+                    )
+        if plot_file:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            series = self._stat_series(histories)
+            n = max(len(series), 1)
+            fig, axes = plt.subplots(
+                n, 1, figsize=(6, 2.2 * n), squeeze=False
+            )
+            for ax, (stat, per_set) in zip(axes[:, 0], series.items()):
+                for ss, ys in per_set.items():
+                    ax.plot(ys, label=ss)
+                ax.set_title(stat, fontsize=8)
+                ax.legend(fontsize=6)
+                ax.grid(True, alpha=0.3)
+            fig.tight_layout()
+            fig.savefig(plot_file, dpi=110)
+            plt.close(fig)
+
+    def _stat_series(self, histories):
+        out: Dict[str, Dict[str, list]] = {}
+        for ss, d in histories.items():
+            for k, ys in d.items():
+                if ys is None:
+                    continue
+                ys = [y for y in ys if y is not None]
+                if ys:
+                    out.setdefault(k, {})[ss] = ys
+        return out
+
     # serialization (pickle-free; JSON of histories)
     def state_dict(self) -> Dict:
         return {
