@@ -60,6 +60,8 @@ class JsonIndexDataset(DatasetBase):
     image_height: Optional[int] = 256
     image_width: Optional[int] = 256
     box_crop: bool = False
+    box_crop_context: float = 0.3
+    box_crop_mask_thr: float = 0.4
     remove_empty_masks: bool = False
     n_frames_per_sequence: int = -1
     seed: int = 0
@@ -226,7 +228,10 @@ class JsonIndexDataset(DatasetBase):
     def _resolve(self, path: str) -> str:
         return os.path.join(self.dataset_root, path) if self.dataset_root else path
 
-    def _load_image(self, path: str) -> Optional[jnp.ndarray]:
+    def _load_image(self, path: str) -> Optional[np.ndarray]:
+        """(H, W, 3) float image at ORIGINAL resolution (the crop/resize
+        pipeline in __getitem__ handles geometry, reference
+        frame_data.py:791 FrameDataBuilder)."""
         if not self.load_images or not path:
             return None
         from PIL import Image
@@ -236,11 +241,9 @@ class JsonIndexDataset(DatasetBase):
             warnings.warn(f"image not found: {p}")
             return None
         im = Image.open(p).convert("RGB")
-        if self.image_height and self.image_width:
-            im = im.resize((self.image_width, self.image_height))
-        return jnp.asarray(np.asarray(im, np.float32) / 255.0)[None]
+        return np.asarray(im, np.float32) / 255.0
 
-    def _load_mask(self, path: str) -> Optional[jnp.ndarray]:
+    def _load_mask(self, path: str) -> Optional[np.ndarray]:
         if not self.load_masks or not path:
             return None
         from PIL import Image
@@ -249,11 +252,34 @@ class JsonIndexDataset(DatasetBase):
         if not os.path.isfile(p):
             return None
         im = Image.open(p).convert("L")
-        if self.image_height and self.image_width:
-            im = im.resize((self.image_width, self.image_height))
-        return jnp.asarray(np.asarray(im, np.float32) / 255.0)[None, ..., None]
+        return (np.asarray(im, np.float32) / 255.0)[..., None]
+
+    def _load_depth(self, entry) -> Optional[np.ndarray]:
+        if not self.load_depths:
+            return None
+        d = entry.get("depth", {})
+        path = d.get("path", "")
+        if not path:
+            return None
+        p = self._resolve(path)
+        if not os.path.isfile(p):
+            return None
+        from PIL import Image
+
+        im = Image.open(p)
+        depth = np.asarray(im, np.float32)
+        if depth.ndim == 3:
+            depth = depth[..., 0]
+        scale = float(d.get("scale_adjustment", 1.0))
+        return (depth * scale)[..., None]
 
     def __getitem__(self, index) -> FrameData:
+        """Full FrameData build: load at original resolution, optional
+        mask-driven box crop (with camera refocus), aspect-preserving
+        resize with zero padding + mask_crop, camera rescale (reference
+        frame_data.py:791 `FrameDataBuilder.build`)."""
+        from . import utils as du
+
         entry = self._frame_annots[index]
         vp = entry.get("viewpoint", {})
         camera = None
@@ -268,12 +294,67 @@ class JsonIndexDataset(DatasetBase):
             )
         image = self._load_image(entry.get("image", {}).get("path", ""))
         mask = self._load_mask(entry.get("mask", {}).get("path", ""))
+        depth = self._load_depth(entry)
+
+        bbox_xywh = None
+        crop_bbox_xywh = None
+        if self.box_crop and mask is not None and image is not None:
+            bbox_xywh = np.asarray(
+                du.get_bbox_from_mask(mask[..., 0], self.box_crop_mask_thr),
+                np.float64,
+            )
+            bbox_xyxy = du.get_clamp_bbox(
+                bbox_xywh,
+                box_crop_context=self.box_crop_context,
+                image_path=entry.get("image", {}).get("path", ""),
+            )
+            clamped = du.clamp_box_to_image_bounds_and_round(
+                bbox_xyxy, image.shape[:2]
+            )
+            crop_bbox_xywh = du.bbox_xyxy_to_xywh(clamped)
+            pre_crop_wh = (image.shape[1], image.shape[0])
+            image = du.crop_around_box(image, clamped)
+            mask = du.crop_around_box(mask, clamped)
+            if depth is not None:
+                depth = du.crop_around_box(depth, clamped)
+            if camera is not None:
+                camera = du.adjust_camera_to_bbox_crop(
+                    camera, pre_crop_wh, crop_bbox_xywh
+                )
+
+        mask_crop = None
+        if image is not None:
+            H = self.image_height or image.shape[0]
+            W = self.image_width or image.shape[1]
+            pre_hw = image.shape[:2]
+            image, scale, mask_crop = du.resize_image(image, H, W)
+            if mask is not None:
+                mask, _, _ = du.resize_image(mask, H, W, mode="nearest")
+            if depth is not None:
+                depth, _, _ = du.resize_image(depth, H, W, mode="nearest")
+            if camera is not None:
+                camera = du.adjust_camera_to_image_scale(
+                    camera, (pre_hw[1], pre_hw[0]), (W, H)
+                )
+
         return FrameData(
             frame_number=entry.get("frame_number"),
             sequence_name=entry["sequence_name"],
             sequence_category=self.sequence_category(entry["sequence_name"]),
-            image_rgb=image,
-            fg_probability=mask,
+            image_rgb=None if image is None else jnp.asarray(image)[None],
+            fg_probability=None if mask is None else jnp.asarray(mask)[None],
+            depth_map=None if depth is None else jnp.asarray(depth)[None],
+            mask_crop=(
+                None if mask_crop is None else jnp.asarray(mask_crop)[None]
+            ),
+            bbox_xywh=(
+                None if bbox_xywh is None else jnp.asarray(bbox_xywh)
+            ),
+            crop_bbox_xywh=(
+                None
+                if crop_bbox_xywh is None
+                else jnp.asarray(crop_bbox_xywh)
+            ),
             camera=camera,
             image_path=entry.get("image", {}).get("path"),
             mask_path=entry.get("mask", {}).get("path"),

@@ -224,3 +224,138 @@ class TestSingleSceneProvider:
         assert eb is not None and all(len(b) == 3 for b in eb)
         cams = prov.get_all_train_cameras()
         assert cams.R.shape[0] == 6
+
+
+class TestFrameDataBuildPipeline:
+    """Crop/resize FrameData builder (reference frame_data.py:791 +
+    dataset/utils.py): mask-driven box crop, camera refocus, aspect-
+    preserving resize with zero padding and mask_crop."""
+
+    def _write_frame(self, tmp_path, W=80, H=60):
+        import numpy as np
+        from PIL import Image
+
+        root = str(tmp_path / "data")
+        os.makedirs(os.path.join(root, "seq/images"), exist_ok=True)
+        os.makedirs(os.path.join(root, "seq/masks"), exist_ok=True)
+        img = np.zeros((H, W, 3), np.uint8)
+        img[20:40, 30:60] = [255, 128, 0]  # the object
+        Image.fromarray(img).save(os.path.join(root, "seq/images/f0.png"))
+        mask = np.zeros((H, W), np.uint8)
+        mask[20:40, 30:60] = 255
+        Image.fromarray(mask).save(os.path.join(root, "seq/masks/f0.png"))
+        frames = [
+            dict(
+                sequence_name="seq",
+                frame_number=0,
+                image=dict(path="seq/images/f0.png"),
+                mask=dict(path="seq/masks/f0.png"),
+                viewpoint=dict(
+                    R=np.eye(3).tolist(),
+                    T=[0.0, 0.0, 3.0],
+                    focal_length=[2.0, 2.0],
+                    principal_point=[0.0, 0.0],
+                ),
+            )
+        ]
+        fa = os.path.join(root, "frame_annotations.jgz")
+        with gzip.open(fa, "wt", encoding="utf8") as f:
+            json.dump(frames, f)
+        return root, fa
+
+    def test_no_crop_resize_pads_and_masks(self, tmp_path):
+        from pytorch3d_tpu.implicitron.dataset.json_index_dataset import (
+            JsonIndexDataset,
+        )
+
+        root, fa = self._write_frame(tmp_path)
+        ds = JsonIndexDataset(
+            frame_annotations_file=fa, dataset_root=root,
+            image_height=64, image_width=64,
+        )
+        fd = ds[0]
+        assert fd.image_rgb.shape == (1, 64, 64, 3)
+        # 80x60 -> scale 0.8 -> 48x64 valid, bottom 16 rows padded
+        mc = np.asarray(fd.mask_crop[0, ..., 0])
+        assert mc[:48].min() == 1.0 and mc[48:].max() == 0.0
+        assert float(np.asarray(fd.image_rgb)[0, 48:].max()) == 0.0
+
+    def test_box_crop_zooms_and_refocuses(self, tmp_path):
+        from pytorch3d_tpu.implicitron.dataset.json_index_dataset import (
+            JsonIndexDataset,
+        )
+
+        root, fa = self._write_frame(tmp_path)
+        ds = JsonIndexDataset(
+            frame_annotations_file=fa, dataset_root=root,
+            image_height=64, image_width=64,
+            box_crop=True, box_crop_context=0.1,
+        )
+        fd = ds[0]
+        # foreground fills most of the cropped view
+        fg = np.asarray(fd.fg_probability[0, ..., 0])
+        mc = np.asarray(fd.mask_crop[0, ..., 0])
+        frac = fg[mc > 0].mean()
+        assert frac > 0.5, f"fg fraction after crop {frac}"
+        assert fd.bbox_xywh is not None and fd.crop_bbox_xywh is not None
+        np.testing.assert_allclose(
+            np.asarray(fd.bbox_xywh), [30, 20, 30, 20]
+        )
+        # camera intrinsics changed to the crop window
+        assert not np.allclose(
+            np.asarray(fd.camera.principal_point), [[0.0, 0.0]]
+        )
+        assert not np.allclose(
+            np.asarray(fd.camera.focal_length), [[2.0, 2.0]]
+        )
+
+    def test_camera_projection_consistency(self, tmp_path):
+        """The object-center world ray must project to the object's pixel
+        both before and after crop+resize (the crop/scale camera
+        adjustments undo the image-space transforms)."""
+        import jax.numpy as jnp
+
+        from pytorch3d_tpu.implicitron.dataset.json_index_dataset import (
+            JsonIndexDataset,
+        )
+
+        root, fa = self._write_frame(tmp_path)
+        ds_plain = JsonIndexDataset(
+            frame_annotations_file=fa, dataset_root=root,
+            image_height=None, image_width=None,
+        )
+        ds_crop = JsonIndexDataset(
+            frame_annotations_file=fa, dataset_root=root,
+            image_height=64, image_width=64,
+            box_crop=True, box_crop_context=0.0,
+        )
+        fd0, fd1 = ds_plain[0], ds_crop[0]
+
+        # pick the world point whose plain projection is the object center
+        # (pixel (30, 45) of 80x60): ndc = ((W-1-2x)/min, (H-1-2y)/min)
+        W0, H0 = 80, 60
+        px, py = 45.0, 30.0
+        x_ndc = (W0 - 1 - 2 * px) / min(W0, H0)
+        y_ndc = (H0 - 1 - 2 * py) / min(W0, H0)
+        z = 3.0
+        f = 2.0
+        pt_world = jnp.asarray(
+            [[x_ndc * z / f, y_ndc * z / f, 0.0]]
+        )  # T adds z=3
+
+        def project_px(fd, W, H):
+            xy = fd.camera.transform_points_ndc(pt_world[None])[0, 0, :2]
+            s = min(H, W)
+            col = (W - 1 - float(xy[0]) * s) / 2.0
+            row = (H - 1 - float(xy[1]) * s) / 2.0
+            return col, row
+
+        c0, r0 = project_px(fd0, W0, H0)
+        np.testing.assert_allclose([c0, r0], [px, py], atol=0.2)
+        # after crop+resize the same world point lands on the object
+        # center of the transformed image
+        c1, r1 = project_px(fd1, 64, 64)
+        fg = np.asarray(fd1.fg_probability[0, ..., 0])
+        ys, xs = np.nonzero(fg > 0.5)
+        cx, cy = xs.mean(), ys.mean()
+        np.testing.assert_allclose([c1, r1], [cx, cy], atol=1.5)
