@@ -44,7 +44,7 @@ def faces_for(level, size):
     return fv, valid
 
 
-def one_config(level, size, K, blur, perspective_correct):
+def one_config(level, size, K, blur, perspective_correct, chunk=256):
     fv, valid = faces_for(level, size)
     idx_p = np.asarray(
         rp.rasterize_topk_pallas(
@@ -56,6 +56,7 @@ def one_config(level, size, K, blur, perspective_correct):
         rasterize_topk_xla(
             fv, valid, (size, size), blur, K,
             perspective_correct=perspective_correct,
+            chunk_size=chunk,
         )
     )
     select_equal = float((idx_p == idx_x).mean())
@@ -85,11 +86,13 @@ def one_config(level, size, K, blur, perspective_correct):
 def main():
     assert jax.default_backend() == "tpu", "run on the TPU chip"
     rows = []
+    # chunk sizes keep the oracle's (H, W, C) intermediates bounded
+    # (1024^2 x 256 floats = 1 GB crashed the TPU worker)
     for cfg in [
-        (2, 256, 4, 0.0, True),
-        (4, 512, 8, 1e-4, True),
-        (5, 512, 8, 1e-4, False),
-        (6, 1024, 8, 1e-5, True),
+        (2, 256, 4, 0.0, True, 256),
+        (4, 512, 8, 1e-4, True, 128),
+        (5, 512, 8, 1e-4, False, 128),
+        (6, 1024, 8, 1e-5, True, 32),
     ]:
         row = one_config(*cfg)
         rows.append(row)
