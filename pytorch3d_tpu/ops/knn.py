@@ -89,11 +89,30 @@ def knn_points(
     P2 = p2.shape[1]
     K = int(min(K, P2))
 
-    # Large databases: chunk P2 with a running top-K merge so the distance
-    # matrix never exceeds (N, P1, C) — the analog of the reference's
-    # register-tiled V2/V3 kernels (knn.cu:113-253).
+    # Large databases: on TPU, the Pallas streaming-min-K kernel
+    # (ops/knn_pallas.py — the register-K analog of the reference's
+    # tiled knn.cu:113-253 kernels); elsewhere, chunked top-K merge.
     _CHUNK = 8192
-    if P2 > _CHUNK and P1 * P2 > 4_000_000:
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and D <= 8
+        and K <= 16
+        and P1 * P2 > 4_000_000
+    )
+    if use_pallas:
+        from .knn_pallas import knn_points_pallas_single
+
+        l2 = (
+            lengths2
+            if lengths2 is not None
+            else jnp.full((N,), P2, jnp.int32)
+        )
+        dists, idx = jax.vmap(
+            lambda a, b, l: knn_points_pallas_single(
+                a, b, l, K=K, norm=norm
+            )
+        )(p1, p2, l2)
+    elif P2 > _CHUNK and P1 * P2 > 4_000_000:
         dists, idx = _knn_chunked(p1, p2, lengths2, norm, K, _CHUNK)
     else:
         d = _pairwise_dist(p1, p2, norm)  # (N, P1, P2)

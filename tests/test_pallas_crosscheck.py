@@ -233,3 +233,40 @@ class TestPointKernelVsXLA:
         np.testing.assert_allclose(
             np.asarray(g_p), np.asarray(g_x), rtol=1e-4, atol=1e-6
         )
+
+
+class TestKnnPallasVsXLA:
+    """Pallas streaming-min-K KNN (ops/knn_pallas.py) vs the XLA
+    knn_points path — exact equality including tie order."""
+
+    def test_matches_xla_small(self):
+        from pytorch3d_tpu.ops import knn_points
+        from pytorch3d_tpu.ops.knn_pallas import knn_points_pallas_single
+
+        rng = np.random.RandomState(0)
+        p1 = jnp.asarray(rng.randn(500, 3), jnp.float32)
+        p2 = jnp.asarray(rng.randn(700, 3), jnp.float32)
+        d_p, i_p = knn_points_pallas_single(p1, p2, K=4)
+        ref = knn_points(p1[None], p2[None], K=4)
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(ref.idx[0]))
+        np.testing.assert_allclose(
+            np.asarray(d_p), np.asarray(ref.dists[0]), atol=1e-5
+        )
+
+    def test_multichunk_and_lengths(self):
+        from pytorch3d_tpu.ops import knn_points
+        from pytorch3d_tpu.ops.knn_pallas import knn_points_pallas_single
+
+        rng = np.random.RandomState(1)
+        p1 = jnp.asarray(rng.randn(300, 3), jnp.float32)
+        p2 = jnp.asarray(rng.randn(2500, 3), jnp.float32)  # > 1 chunk
+        n_live = jnp.int32(1800)
+        d_p, i_p = knn_points_pallas_single(p1, p2, length2=n_live, K=3)
+        ref = knn_points(
+            p1[None], p2[None], lengths2=n_live[None], K=3
+        )
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(ref.idx[0]))
+        np.testing.assert_allclose(
+            np.asarray(d_p), np.asarray(ref.dists[0]), atol=1e-5
+        )
+        assert int(np.asarray(i_p).max()) < 1800
