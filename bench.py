@@ -59,13 +59,21 @@ def main() -> None:
 
     # warmup/compile
     v, g = fwd_bwd(verts_ndc)
-    jax.block_until_ready((v, g))
 
+    def _force(out):
+        import numpy as np
+
+        for leaf in jax.tree_util.tree_leaves(out):
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+    _force((v, g))
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         v, g = fwd_bwd(verts_ndc)
-    jax.block_until_ready((v, g))
+    # materialize (block_until_ready can return early under the axon
+    # remote tunnel; one RTT amortized over n_iters)
+    _force((v, g))
     dt = (time.perf_counter() - t0) / n_iters
 
     mpix_s = image_size * image_size / dt / 1e6

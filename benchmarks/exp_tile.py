@@ -37,12 +37,20 @@ def setup(level, size, K, blur):
     return fv, valid
 
 
+def _force(out):
+    import numpy as np
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 def bench(fn, *args, n=20):
-    o = jax.block_until_ready(fn(*args))
+    o = fn(*args)
+    _force(o)
     t0 = time.perf_counter()
     for _ in range(n):
         o = fn(*args)
-    jax.block_until_ready(o)
+    _force(o)
     return (time.perf_counter() - t0) / n * 1e3  # ms
 
 

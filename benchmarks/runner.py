@@ -37,16 +37,33 @@ class BenchRow:
         return s
 
 
+def _force(out) -> None:
+    """Force completion of every output buffer.
+
+    `jax.block_until_ready` can return before remote execution finishes
+    under the axon TPU tunnel (measured: a 115 ms kernel reported as
+    0.13 ms); materializing one element per leaf costs one RTT and
+    guarantees the device queue is drained."""
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 def time_fn(
     fn: Callable[[], Any],
     warmup: int = 2,
     iters: int = 10,
     trace_dir: Optional[str] = None,
 ) -> float:
-    """Median-free mean seconds per call after warmup (compile excluded)."""
+    """Mean seconds per call after warmup (compile excluded).  The final
+    sync materializes output elements (see _force) so the measurement is
+    valid under asynchronous/remote runtimes; the single RTT is
+    amortized over `iters`."""
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
+    _force(out)
     ctx = (
         jax.profiler.trace(trace_dir)
         if trace_dir
@@ -56,7 +73,7 @@ def time_fn(
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn()
-        jax.block_until_ready(out)
+        _force(out)
         dt = (time.perf_counter() - t0) / iters
     return dt
 
