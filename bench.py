@@ -11,7 +11,6 @@ Runs on whatever jax.default_backend() is (real TPU chip under the driver).
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -57,24 +56,11 @@ def main() -> None:
         val, grad = jax.value_and_grad(loss)(verts)
         return val, grad
 
-    # warmup/compile
-    v, g = fwd_bwd(verts_ndc)
+    # warmup/compile happens inside time_fn; the harness subtracts the
+    # tunnel-RTT sync cost (see benchmarks/runner.py:_force).
+    from benchmarks.runner import time_fn
 
-    def _force(out):
-        import numpy as np
-
-        for leaf in jax.tree_util.tree_leaves(out):
-            np.asarray(jax.device_get(leaf.ravel()[:1]))
-
-    _force((v, g))
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        v, g = fwd_bwd(verts_ndc)
-    # materialize (block_until_ready can return early under the axon
-    # remote tunnel; one RTT amortized over n_iters)
-    _force((v, g))
-    dt = (time.perf_counter() - t0) / n_iters
+    dt = time_fn(lambda: fwd_bwd(verts_ndc), warmup=2, iters=20)
 
     mpix_s = image_size * image_size / dt / 1e6
     # Baseline: the naive XLA all-faces-x-all-pixels scan measured on the

@@ -38,17 +38,23 @@ class BenchRow:
 
 
 def _force(out) -> None:
-    """Force completion of every output buffer.
+    """Drain the device queue: fetch ONE element of ONE output leaf.
 
     `jax.block_until_ready` can return before remote execution finishes
     under the axon TPU tunnel (measured: a 115 ms kernel reported as
-    0.13 ms); materializing one element per leaf costs one RTT and
-    guarantees the device queue is drained."""
+    0.13 ms), so a real device_get is required.  But each device_get
+    costs one tunnel RTT (~35 ms measured) — fetching *every* leaf
+    inflated measurements by leaves*RTT/iters (a full train step returns
+    ~185 param/opt-state leaves -> ~650 ms of phantom time).  Executions
+    are enqueued in-order on the single device stream, so one element of
+    the last output is ready only after all prior work completed; one
+    fetch drains everything."""
     import numpy as np
 
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "ravel"):
             np.asarray(jax.device_get(leaf.ravel()[:1]))
+            return
 
 
 def time_fn(
@@ -57,10 +63,14 @@ def time_fn(
     iters: int = 10,
     trace_dir: Optional[str] = None,
 ) -> float:
-    """Mean seconds per call after warmup (compile excluded).  The final
-    sync materializes output elements (see _force) so the measurement is
-    valid under asynchronous/remote runtimes; the single RTT is
-    amortized over `iters`."""
+    """Mean seconds per call after warmup (compile excluded).
+
+    The final sync materializes one output element (see _force) so the
+    measurement is valid under asynchronous/remote runtimes; the cost of
+    that sync on already-ready buffers (one tunnel RTT) is measured
+    immediately afterwards and subtracted.  For sub-millisecond kernels a
+    single RTT (~35 ms, jittery) swamps `iters` calls, so the iteration
+    count is grown adaptively until device time dominates the sync cost."""
     for _ in range(warmup):
         out = fn()
     _force(out)
@@ -69,13 +79,31 @@ def time_fn(
         if trace_dir
         else contextlib.nullcontext()
     )
-    with ctx:
+
+    def measure(n: int):
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for _ in range(n):
             out = fn()
         _force(out)
-        dt = (time.perf_counter() - t0) / iters
-    return dt
+        t1 = time.perf_counter()
+        # Pure fetch overhead on buffers that are already on-device and
+        # ready (one RTT); subtracting leaves dispatch + device compute.
+        t2 = time.perf_counter()
+        _force(out)
+        t3 = time.perf_counter()
+        return (t1 - t0), (t3 - t2)
+
+    max_iters = 2000
+    with ctx:
+        n = iters
+        while True:
+            total, fetch = measure(n)
+            compute = total - fetch
+            if compute >= 5.0 * fetch or n >= max_iters:
+                return max(compute / n, 1e-9)
+            # grow so the next pass's device time is ~10 RTTs
+            grow = int(n * 10.0 * fetch / max(compute, 1e-6 * fetch))
+            n = min(max_iters, max(4 * n, grow))
 
 
 def trace_dir_for(name: str) -> Optional[str]:

@@ -52,6 +52,19 @@ _CHUNK = 1024  # faces per streamed SMEM chunk (shared by select + grad)
 _MFT_HARD_CAP = 32768  # absolute per-tile face-list capacity (32 chunks)
 
 
+def _tile_for_k(K: int) -> Tuple[int, int]:
+    """Pixel-tile shape for a given faces_per_pixel.
+
+    The fine kernel holds ~12 live (K, TH, TW) fp32 planes (top-K
+    insertion state plus double-buffered fragment outputs), so its
+    scoped-VMEM stack grows as K*TH*TW.  Measured on v5e: K=50 at TH=32
+    needs an 18.5 MB stack vs Mosaic's 16 MB limit.  Keep K*TH <= 1024
+    (the tuned 32-row tile is unchanged for the common K <= 32)."""
+    if K * _TILE_H <= 1024:
+        return (_TILE_H, _TILE_W)
+    return (16 if K * 16 <= 1024 else 8, _TILE_W)
+
+
 def _round_mft(mft: int, F: int) -> int:
     """Round a per-tile capacity to the kernels' chunk granularity."""
     mft = max(128, min(mft, F, _MFT_HARD_CAP))
@@ -435,7 +448,7 @@ def rasterize_topk_pallas(
     clip_barycentric_coords: bool = False,
     cull_backfaces: bool = False,
     max_faces_per_tile: Optional[int] = None,
-    tile: Tuple[int, int] = (_TILE_H, _TILE_W),
+    tile: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """Per-pixel ascending-z top-K face ids via the Pallas tile kernel.
 
@@ -444,6 +457,8 @@ def rasterize_topk_pallas(
     H, W = image_size
     K = faces_per_pixel
     F = face_verts.shape[0]
+    if tile is None:
+        tile = _tile_for_k(K)
     TH, TW = tile
 
     ok = _face_ok(face_verts, valid, cull_backfaces)
@@ -658,7 +673,9 @@ def rasterize_grad_pallas(
     K = faces_per_pixel
     n_tiles, _, MFT = fv9.shape
     n_ty = n_tiles // n_tx
-    Hp, Wp = n_ty * _TILE_H, n_tx * _TILE_W
+    tile = _tile_for_k(K)  # must match the fwd binning tile
+    TH, TW = tile
+    Hp, Wp = n_ty * TH, n_tx * TW
     CH = min(MFT, _CHUNK)
     n_chunks = MFT // CH
 
@@ -679,10 +696,10 @@ def rasterize_grad_pallas(
         faces_per_pixel=K,
         perspective_correct=perspective_correct,
         clip_barycentric_coords=clip_barycentric_coords,
-        tile=(_TILE_H, _TILE_W),
+        tile=tile,
     )
     tspec = lambda cdim: pl.BlockSpec(
-        (cdim, _TILE_H, _TILE_W), lambda t, c: (0, t // n_tx, t % n_tx)
+        (cdim, TH, TW), lambda t, c: (0, t // n_tx, t % n_tx)
     )
     gout = pl.pallas_call(
         kernel,
@@ -756,6 +773,8 @@ def _rfp_fwd(
     H, W = image_size
     K = faces_per_pixel
     F = face_verts.shape[0]
+    tile = _tile_for_k(K)
+    TH, TW = tile
 
     ok = _face_ok(face_verts, valid, cull_backfaces)
 
@@ -766,7 +785,7 @@ def _rfp_fwd(
 
     fv9, ids, counts, n_ty, n_tx, _ = _bin_faces(
         jax.lax.stop_gradient(face_verts), ok, image_size, blur_radius,
-        (_TILE_H, _TILE_W), mft,
+        tile, mft,
     )
     n_tiles = n_ty * n_tx
     MFT = fv9.shape[2]
@@ -785,14 +804,14 @@ def _rfp_fwd(
             faces_per_pixel=K,
             perspective_correct=perspective_correct,
             clip_barycentric_coords=clip_barycentric_coords,
-            tile=(_TILE_H, _TILE_W),
+            tile=tile,
         )
 
     out_spec = pl.BlockSpec(
-        (K, _TILE_H, _TILE_W), lambda t, c: (0, t // n_tx, t % n_tx)
+        (K, TH, TW), lambda t, c: (0, t // n_tx, t % n_tx)
     )
     fshape = jax.ShapeDtypeStruct(
-        (K, n_ty * _TILE_H, n_tx * _TILE_W), jnp.float32
+        (K, n_ty * TH, n_tx * TW), jnp.float32
     )
     idx_out, z_o, b0_o, b1_o, b2_o, d_o = pl.pallas_call(
         kernel,
@@ -807,9 +826,7 @@ def _rfp_fwd(
         ],
         out_specs=[out_spec] * 6,
         out_shape=[
-            jax.ShapeDtypeStruct(
-                (K, n_ty * _TILE_H, n_tx * _TILE_W), jnp.int32
-            ),
+            jax.ShapeDtypeStruct((K, n_ty * TH, n_tx * TW), jnp.int32),
             fshape, fshape, fshape, fshape, fshape,
         ],
         compiler_params=pltpu.CompilerParams(

@@ -101,6 +101,33 @@ class TestMeshKernelVsXLA:
             np.asarray(g_p), np.asarray(g_x), rtol=1e-3, atol=1e-4
         )
 
+    def test_large_k_uses_short_tile_and_matches(self):
+        # K > 32 switches to a 16-row pixel tile (_tile_for_k) to stay
+        # inside Mosaic's scoped-VMEM stack limit; exercise selection,
+        # fragments, and gradients on that path.
+        assert rmp._tile_for_k(50) == (16, 128)
+        fv, valid = _sphere_faces(level=1, image_size=64)
+        K = 50
+        idx_p = rmp.rasterize_topk_pallas(fv, valid, (64, 64), 1e-4, K)
+        idx_x = rasterize_topk_xla(fv, valid, (64, 64), 1e-4, K)
+        assert float((idx_p == idx_x).mean()) == 1.0
+
+        def loss_pallas(f):
+            pix, zb, ba, di = rmp.rasterize_fragments_pallas(
+                f, valid, (64, 64), 1e-4, K
+            )
+            return jnp.sum(jax.nn.sigmoid(-di / 1e-4)) + jnp.sum(zb) * 0.5
+
+        def loss_xla(f):
+            zb, ba, di = interpolate_fragments(f, idx_x, (64, 64))
+            return jnp.sum(jax.nn.sigmoid(-di / 1e-4)) + jnp.sum(zb) * 0.5
+
+        g_p = jax.grad(loss_pallas)(fv)
+        g_x = jax.grad(loss_xla)(fv)
+        np.testing.assert_allclose(
+            np.asarray(g_p), np.asarray(g_x), rtol=1e-3, atol=1e-4
+        )
+
 
 def _dense_tile_faces(n_faces, seed=0):
     """Many small faces concentrated in a small NDC region (one tile)."""
