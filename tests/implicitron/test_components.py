@@ -135,6 +135,94 @@ class TestFeatureExtractor:
             assert f.shape[0] == 2
             assert np.isfinite(np.asarray(f)).all()
 
+    def test_reference_output_contract(self):
+        # reference resnet_feature_extractor.py:141,:224: keys are
+        # res_layer_{k} / mask / image, channel-first maps, projected to
+        # proj_dim, l2-normalized to 1/sqrt(len(stages)) per stage.
+        from pytorch3d_tpu.implicitron.models.feature_extractor.resnet_feature_extractor import (
+            ResNetFeatureExtractor,
+        )
+
+        fe = ResNetFeatureExtractor(
+            arch="resnet18", stages=(1, 2), proj_dim=8, image_rescale=0.5,
+            pretrained=False,
+        )
+        img = jnp.ones((2, 64, 64, 3)) * 0.5
+        mask = jnp.ones((2, 64, 64, 1))
+        params = fe.init(jax.random.PRNGKey(0), img, mask)
+        out = fe.apply(params, img, mask)
+        assert set(out) == {"res_layer_1", "res_layer_2", "mask", "image"}
+        # image entry is the rescaled input, channel-first
+        assert out["image"].shape == (2, 3, 32, 32)
+        assert out["mask"].shape == (2, 1, 64, 64)
+        # stage maps are projected to proj_dim and stride-correct
+        assert out["res_layer_1"].shape == (2, 8, 8, 8)  # /4 of 32
+        assert out["res_layer_2"].shape == (2, 8, 4, 4)
+        # l2_norm: per-pixel channel norm == 1/sqrt(n_stages)
+        n = np.linalg.norm(np.asarray(out["res_layer_1"]), axis=1)
+        np.testing.assert_allclose(n, 1 / np.sqrt(2), atol=1e-5)
+        assert fe.get_feat_dims() == 8 + 8 + 1 + 3
+
+    def test_resnet50_bottleneck_and_native_dims(self):
+        from pytorch3d_tpu.implicitron.models.feature_extractor.resnet_feature_extractor import (
+            ResNetFeatureExtractor,
+        )
+
+        fe = ResNetFeatureExtractor(
+            arch="resnet50", stages=(1,), proj_dim=0, image_rescale=1.0,
+            l2_norm=False, add_images=False, pretrained=False,
+        )
+        img = jnp.ones((1, 32, 32, 3)) * 0.2
+        params = fe.init(jax.random.PRNGKey(0), img)
+        out = fe.apply(params, img)
+        # proj_dim=0 -> native bottleneck width (256 for resnet50 stage 1)
+        assert out["res_layer_1"].shape[1] == 256
+        assert fe.get_feat_dims() == 256 + 1
+
+    def test_torch_state_dict_import(self):
+        # params_from_torch_state_dict maps torchvision names onto the
+        # flax tree (OIHW->HWIO kernels, BN running stats -> FrozenBN).
+        from pytorch3d_tpu.implicitron.models.feature_extractor.resnet_feature_extractor import (
+            ResNetFeatureExtractor,
+            params_from_torch_state_dict,
+        )
+
+        fe = ResNetFeatureExtractor(
+            arch="resnet18", stages=(1,), proj_dim=0, image_rescale=1.0,
+            l2_norm=False, add_images=False, add_masks=False,
+            normalize_image=False, pretrained=False,
+        )
+        img = jnp.ones((1, 32, 32, 3)) * 0.3
+        params = fe.init(jax.random.PRNGKey(0), img)
+
+        rng = np.random.RandomState(0)
+        sd = {"conv1.weight": rng.randn(64, 3, 7, 7).astype(np.float32)}
+        for leaf in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"bn1.{leaf}"] = np.abs(rng.randn(64)).astype(np.float32)
+        for b in range(2):  # resnet18 stage 1: two BasicBlocks, 64ch
+            for i in (1, 2):
+                sd[f"layer1.{b}.conv{i}.weight"] = rng.randn(
+                    64, 64, 3, 3
+                ).astype(np.float32)
+                for leaf in ("weight", "bias", "running_mean",
+                             "running_var"):
+                    sd[f"layer1.{b}.bn{i}.{leaf}"] = np.abs(
+                        rng.randn(64)
+                    ).astype(np.float32)
+
+        newp = params_from_torch_state_dict(params, sd, arch="resnet18")
+        tree = newp["params"]
+        np.testing.assert_allclose(
+            np.asarray(tree["stem_conv"]["kernel"]),
+            sd["conv1.weight"].transpose(2, 3, 1, 0),
+        )
+        np.testing.assert_allclose(
+            np.asarray(tree["layer1_block1"]["bn2"]["mean"]),
+            sd["layer1.1.bn2.running_mean"],
+        )
+        out = fe.apply(newp, img)  # imported tree still runs
+        assert np.isfinite(np.asarray(out["res_layer_1"])).all()
+
 
 class TestEvaluation:
     def test_eval_batch_metrics(self):

@@ -353,7 +353,8 @@ class TestViewPooledGenericModel:
             ),
             view_pooler_enabled=True,
             image_feature_extractor_args=dict(
-                stages=(1,), base_features=8, add_images=False
+                arch="resnet18", stages=(1,), proj_dim=8,
+                image_rescale=1.0, add_images=False, pretrained=False,
             ),
             view_pooler_args=dict(
                 feature_aggregator_args=dict(reduction_functions=("avg",))
@@ -408,7 +409,8 @@ class TestViewPooledGenericModel:
             ),
             view_pooler_enabled=True,
             image_feature_extractor_args=dict(
-                stages=(1,), base_features=8, add_images=False
+                arch="resnet18", stages=(1,), proj_dim=8,
+                image_rescale=1.0, add_images=False, pretrained=False,
             ),
             view_pooler_args=dict(
                 feature_aggregator_args=dict(reduction_functions=("avg",))
