@@ -56,6 +56,28 @@ class TensorProperties:
     def __len__(self) -> int:
         return self._N
 
+    def __getitem__(self, index):
+        """Indexed shallow copy over the batch dim (reference :153's
+        TensorAccessor, returned as a new instance rather than a view —
+        jax arrays are immutable so write-through cannot be supported)."""
+        import copy
+
+        if isinstance(index, int):
+            index = slice(index, index + 1)
+        out = copy.copy(self)
+        n = None
+        for k, v in vars(self).items():
+            if (
+                isinstance(v, jnp.ndarray)
+                and v.ndim > 0
+                and v.shape[0] == self._N
+            ):
+                setattr(out, k, v[index])
+                n = out.__dict__[k].shape[0]
+        if n is not None:
+            out._N = n
+        return out
+
     def isempty(self) -> bool:
         return self._N == 0
 
@@ -68,9 +90,12 @@ class TensorProperties:
         return copy.deepcopy(self)
 
     def gather_props(self, batch_idx):
+        n = self._N
         for k, v in vars(self).items():
             if isinstance(v, jnp.ndarray) and v.ndim > 0 and v.shape[0] == self._N:
                 setattr(self, k, v[batch_idx])
+                n = self.__dict__[k].shape[0]
+        self._N = n
         return self
 
 

@@ -431,3 +431,57 @@ class TestAddPointcloudsToVolumes:
         com = np.array(np.unravel_index(np.argmax(red), red.shape))
         assert np.all(np.abs(com - 3.5) <= 1.0)
         assert f[0, 1].max() == 0.0  # no green anywhere
+
+
+class TestTensorProperties:
+    """Broadcast/gather/index contract of the TensorProperties shim
+    (reference renderer/utils.py:97-283)."""
+
+    def _make(self):
+        from pytorch3d_tpu.renderer.utils import TensorProperties
+
+        return TensorProperties(
+            a=jnp.asarray([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]),
+            b=2.5,  # scalar broadcasts to N=3
+            c=[7.0, 8.0, 9.0],
+            name="fixed",  # non-tensor attrs pass through
+        )
+
+    def test_broadcast_constructor(self):
+        tp = self._make()
+        assert len(tp) == 3 and not tp.isempty()
+        assert tp.a.shape == (3, 2)
+        assert tp.b.shape == (3,)
+        np.testing.assert_allclose(np.asarray(tp.b), 2.5)
+        assert tp.name == "fixed"
+
+    def test_mismatched_batch_raises(self):
+        from pytorch3d_tpu.renderer.utils import TensorProperties
+
+        with np.testing.assert_raises(ValueError):
+            TensorProperties(a=jnp.ones((3, 2)), b=jnp.ones((2,)))
+
+    def test_getitem_int_and_slice(self):
+        tp = self._make()
+        one = tp[1]
+        assert len(one) == 1
+        np.testing.assert_allclose(np.asarray(one.a), [[3.0, 4.0]])
+        np.testing.assert_allclose(np.asarray(one.c), [8.0])
+        two = tp[1:3]
+        assert len(two) == 2 and two.name == "fixed"
+        # original untouched (immutable arrays, new instance)
+        assert len(tp) == 3
+
+    def test_gather_props(self):
+        tp = self._make()
+        idx = jnp.asarray([2, 0, 2, 1])
+        tp.gather_props(idx)
+        np.testing.assert_allclose(
+            np.asarray(tp.c), [9.0, 7.0, 9.0, 8.0]
+        )
+
+    def test_clone_independent(self):
+        tp = self._make()
+        cl = tp.clone()
+        cl.gather_props(jnp.asarray([0]))
+        assert len(tp.a) == 3 and len(cl.a) == 1
