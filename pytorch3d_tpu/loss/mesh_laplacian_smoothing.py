@@ -61,11 +61,16 @@ def _cot_laplacian_apply(verts, faces, eps: float = 1e-12):
 
     Cotangent weights as in ops/laplacian_matrices.cot_laplacian, applied
     directly via segment sums (avoids materializing the sparse matrix).
+    The weights (and areas) are computed under stop_gradient: the
+    reference builds L inside `torch.no_grad()` ("treat it as a magic
+    constant matrix", loss/mesh_laplacian_smoothing.py:106) — only the
+    matvec L @ verts is differentiated.
     """
     V = verts.shape[0]
     valid = jnp.all(faces >= 0, axis=-1)
     f = jnp.maximum(faces, 0)
-    v0, v1, v2 = verts[f[:, 0]], verts[f[:, 1]], verts[f[:, 2]]
+    verts_ng = jax.lax.stop_gradient(verts)
+    v0, v1, v2 = verts_ng[f[:, 0]], verts_ng[f[:, 1]], verts_ng[f[:, 2]]
     A = safe_norm(v1 - v2, axis=1)
     B = safe_norm(v0 - v2, axis=1)
     C = safe_norm(v0 - v1, axis=1)

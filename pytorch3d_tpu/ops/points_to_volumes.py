@@ -33,7 +33,7 @@ def add_pointclouds_to_volumes(
     mask = pointclouds.points_padded_mask().astype(pts.dtype)
 
     pts_local = initial_volumes.world_to_local_coords(pts)
-    densities, features = add_points_features_to_volume_densities_features(
+    features, densities = add_points_features_to_volume_densities_features(
         pts_local,
         feats,
         initial_volumes.densities(),
@@ -61,7 +61,8 @@ def add_points_features_to_volume_densities_features(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Splat features/densities (reference :289).
 
-    Returns (densities (B, 1, D, H, W), features (B, C, D, H, W)).
+    Returns (features (B, C, D, H, W), densities (B, 1, D, H, W)) —
+    the reference's return order (:289).
     """
     B, P, _ = points_3d.shape
     C = points_features.shape[-1]
@@ -122,4 +123,5 @@ def add_points_features_to_volume_densities_features(
     )
     if rescale_features:
         feat_out = feat_out / jnp.clip(dens_out, min_weight)
-    return dens_out, feat_out
+    # reference :289 returns (features, densities) in that order
+    return feat_out, dens_out

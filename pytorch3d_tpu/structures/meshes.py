@@ -174,14 +174,17 @@ class Meshes:
     def faces_packed(self) -> jnp.ndarray:
         """(N*F, 3) faces with *global* packed vertex indices.
 
-        Invalid (padding) faces point at their mesh's vertex 0 so that any
-        gather through them is in-bounds; mask with `faces_packed_mask`.
+        Invalid (padding) faces are -1 rows (like the reference's exact
+        packed tensors use no padding at all, every consumer here tests
+        `faces >= 0`); gathers through them stay in-bounds because jax
+        wraps negative indices.  Mask with `faces_packed_mask`.
         """
         N, F, _ = self._faces_padded.shape
         V = self.max_verts
         offsets = (jnp.arange(N, dtype=jnp.int32) * V)[:, None, None]
         faces = jnp.where(self._faces_padded >= 0, self._faces_padded, 0)
-        return (faces + offsets).reshape(N * F, 3)
+        packed = (faces + offsets).reshape(N * F, 3)
+        return jnp.where(self.faces_packed_mask()[:, None], packed, -1)
 
     def faces_packed_mask(self) -> jnp.ndarray:
         return self.faces_padded_mask().reshape(-1)
@@ -230,10 +233,13 @@ class Meshes:
         num_edges = jnp.sum(uniq).astype(jnp.int32)
 
         E_cap = 3 * NF
-        # Compact unique edges into rank order.
+        # Compact unique edges into rank order; padding slots stay -1 so
+        # consumers' `edges >= 0` validity tests hold (padding at 0 made
+        # every vertex-0 degree count the pad edges — a real 1-4% error
+        # in the uniform laplacian loss before this).
         scatter_idx = jnp.where(uniq, ranks, E_cap)
         edges_packed = (
-            jnp.zeros((E_cap, 2), jnp.int32)
+            jnp.full((E_cap, 2), -1, jnp.int32)
             .at[scatter_idx]
             .set(jnp.stack([a_s, b_s], axis=-1), mode="drop")
         )

@@ -30,12 +30,36 @@ class _NativeStub(types.ModuleType):
         return _NativeStubAttr()
 
 
+def _mesh_normal_consistency_find_verts(edge_num):
+    """Pure-python equivalent of the reference native op
+    (csrc/mesh_normal_consistency/mesh_normal_consistency_cpu.cpp:13):
+    for each edge with e incident opposite-vertex rows (numbered
+    consecutively), emit every (i, j) i<j pair of row ids."""
+    import torch
+
+    pairs = []
+    start = 0
+    for e in edge_num.tolist():
+        for j in range(e):
+            for i in range(j):
+                pairs.append((start + i, start + j))
+        start += e
+    if not pairs:
+        return torch.zeros((0, 2), dtype=torch.int64)
+    return torch.tensor(pairs, dtype=torch.int64)
+
+
 def import_reference():
     """Returns the reference `pytorch3d` package (or None if torch broken)."""
     if _REF_PATH not in sys.path:
         sys.path.insert(0, _REF_PATH)
     if "pytorch3d._C" not in sys.modules:
-        sys.modules["pytorch3d._C"] = _NativeStub("pytorch3d._C")
+        stub = _NativeStub("pytorch3d._C")
+        # explicit attributes win over __getattr__'s raising stub:
+        stub.mesh_normal_consistency_find_verts = (
+            _mesh_normal_consistency_find_verts
+        )
+        sys.modules["pytorch3d._C"] = stub
     import pytorch3d  # noqa: F401
 
     pytorch3d._C = sys.modules["pytorch3d._C"]

@@ -163,7 +163,7 @@ class TestPointsToVolumes:
         pts = jnp.asarray([[[0.0, 0.0, 0.0]]])  # center of grid
         feats = jnp.asarray([[[1.0, 2.0, 3.0]]])
         dens = jnp.zeros((1, 1, 5, 5, 5))
-        d, f = add_points_features_to_volume_densities_features(
+        f, d = add_points_features_to_volume_densities_features(
             pts, feats, dens, None, mode="nearest"
         )
         assert float(d[0, 0, 2, 2, 2]) == 1.0
@@ -174,7 +174,7 @@ class TestPointsToVolumes:
         pts = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 40, 3)), jnp.float32)
         feats = jnp.ones((2, 40, 2))
         dens = jnp.zeros((2, 1, 8, 8, 8))
-        d, f = add_points_features_to_volume_densities_features(
+        f, d = add_points_features_to_volume_densities_features(
             pts, feats, dens, None, mode="trilinear"
         )
         np.testing.assert_allclose(
@@ -187,7 +187,7 @@ class TestPointsToVolumes:
         dens = jnp.zeros((1, 1, 4, 4, 4))
 
         def loss(p):
-            d, f = add_points_features_to_volume_densities_features(
+            f, d = add_points_features_to_volume_densities_features(
                 p, feats, dens, None, mode="trilinear"
             )
             return jnp.sum(d * jnp.arange(64.0).reshape(1, 1, 4, 4, 4))
