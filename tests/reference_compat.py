@@ -49,10 +49,45 @@ def _mesh_normal_consistency_find_verts(edge_num):
     return torch.tensor(pairs, dtype=torch.int64)
 
 
+class _PathManager:
+    """Minimal iopath.common.file_io.PathManager stand-in (local fs only)."""
+
+    def open(self, path, mode="r", **kwargs):
+        return open(path, mode)
+
+    def exists(self, path):
+        import os
+
+        return os.path.exists(path)
+
+    def get_local_path(self, path):
+        return str(path)
+
+    def isfile(self, path):
+        import os
+
+        return os.path.isfile(path)
+
+
+def _install_iopath_stub():
+    if "iopath" in sys.modules:
+        return
+    iopath = types.ModuleType("iopath")
+    common = types.ModuleType("iopath.common")
+    file_io = types.ModuleType("iopath.common.file_io")
+    file_io.PathManager = _PathManager
+    iopath.common = common
+    common.file_io = file_io
+    sys.modules["iopath"] = iopath
+    sys.modules["iopath.common"] = common
+    sys.modules["iopath.common.file_io"] = file_io
+
+
 def import_reference():
     """Returns the reference `pytorch3d` package (or None if torch broken)."""
     if _REF_PATH not in sys.path:
         sys.path.insert(0, _REF_PATH)
+    _install_iopath_stub()
     if "pytorch3d._C" not in sys.modules:
         stub = _NativeStub("pytorch3d._C")
         # explicit attributes win over __getattr__'s raising stub:

@@ -1,0 +1,187 @@
+"""IO parity: load the SAME files with the reference's pure-python
+loaders (pytorch3d.io.load_obj / load_ply) and ours, compare arrays.
+Complements test_io.py's scenario tests with direct cross-validation."""
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, "tests")
+from reference_compat import import_reference  # noqa: E402
+
+import_reference()
+import torch  # noqa: E402 (unused but keeps torch initialized first)
+
+import jax.numpy as jnp  # noqa: E402,F401
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+OBJ_TEXT = """
+# test cube-ish mesh with uvs, normals, and two materials
+mtllib test.mtl
+v 0.0 0.0 0.0
+v 1.0 0.0 0.0
+v 1.0 1.0 0.0
+v 0.0 1.0 0.0
+v 0.5 0.5 1.0
+vt 0.1 0.1
+vt 0.9 0.1
+vt 0.9 0.9
+vt 0.1 0.9
+vn 0.0 0.0 1.0
+vn 0.0 0.0 -1.0
+usemtl mat_a
+f 1/1/1 2/2/1 3/3/1
+f 1/1/1 3/3/1 4/4/1
+usemtl mat_b
+f 1/1/2 2/2/2 5/1/2
+f 2/2/2 3/3/2 5/2/2
+"""
+
+MTL_TEXT = """
+newmtl mat_a
+Kd 0.5 0.1 0.1
+Ka 0.2 0.2 0.2
+Ks 0.9 0.9 0.9
+Ns 10.0
+newmtl mat_b
+Kd 0.1 0.5 0.1
+"""
+
+PLY_ASCII = """ply
+format ascii 1.0
+element vertex 4
+property float x
+property float y
+property float z
+element face 2
+property list uchar int vertex_indices
+end_header
+0 0 0
+1 0 0
+1 1 0
+0 1 1
+3 0 1 2
+3 0 2 3
+"""
+
+
+class TestObjParity:
+    def _write(self, d):
+        obj = os.path.join(d, "test.obj")
+        with open(obj, "w") as f:
+            f.write(OBJ_TEXT)
+        with open(os.path.join(d, "test.mtl"), "w") as f:
+            f.write(MTL_TEXT)
+        return obj
+
+    def test_load_obj_matches_reference(self):
+        from pytorch3d.io import load_obj as ref_load_obj
+
+        from pytorch3d_tpu.io import load_obj
+
+        with tempfile.TemporaryDirectory() as d:
+            obj = self._write(d)
+            rv, rf, raux = ref_load_obj(obj, load_textures=False)
+            ov, of, oaux = load_obj(obj, load_textures=False)
+
+            np.testing.assert_allclose(np.asarray(ov), t2n(rv))
+            np.testing.assert_array_equal(
+                np.asarray(of.verts_idx), t2n(rf.verts_idx)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(of.textures_idx), t2n(rf.textures_idx)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(of.normals_idx), t2n(rf.normals_idx)
+            )
+            np.testing.assert_allclose(
+                np.asarray(oaux.verts_uvs), t2n(raux.verts_uvs)
+            )
+            np.testing.assert_allclose(
+                np.asarray(oaux.normals), t2n(raux.normals)
+            )
+            # per-face material assignment order
+            np.testing.assert_array_equal(
+                np.asarray(of.materials_idx), t2n(rf.materials_idx)
+            )
+
+    def test_load_obj_materials_match_reference(self):
+        from pytorch3d.io import load_obj as ref_load_obj
+
+        from pytorch3d_tpu.io import load_obj
+
+        with tempfile.TemporaryDirectory() as d:
+            obj = self._write(d)
+            _, _, raux = ref_load_obj(obj, load_textures=True, device="cpu")
+            _, _, oaux = load_obj(obj, load_textures=True)
+            assert set(oaux.material_colors) == set(raux.material_colors)
+            for name, props in raux.material_colors.items():
+                for k, val in props.items():
+                    np.testing.assert_allclose(
+                        np.asarray(oaux.material_colors[name][k]),
+                        t2n(val),
+                        err_msg=f"{name}.{k}",
+                    )
+
+    def test_save_obj_reference_loads_it(self):
+        # our writer -> reference loader round trip
+        from pytorch3d.io import load_obj as ref_load_obj
+
+        from pytorch3d_tpu.io import save_obj
+
+        verts = jnp.asarray(
+            [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+        )
+        faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "out.obj")
+            save_obj(path, verts, faces)
+            rv, rf, _ = ref_load_obj(path, load_textures=False)
+            np.testing.assert_allclose(t2n(rv), np.asarray(verts))
+            np.testing.assert_array_equal(
+                t2n(rf.verts_idx), np.asarray(faces)
+            )
+
+
+class TestPlyParity:
+    def test_load_ply_ascii_matches_reference(self):
+        from pytorch3d.io import load_ply as ref_load_ply
+
+        from pytorch3d_tpu.io import load_ply
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "t.ply")
+            with open(path, "w") as f:
+                f.write(PLY_ASCII)
+            rv, rf = ref_load_ply(path)
+            ov, of = load_ply(path)
+            np.testing.assert_allclose(np.asarray(ov), t2n(rv))
+            np.testing.assert_array_equal(np.asarray(of), t2n(rf))
+
+    def test_save_ply_reference_loads_it(self):
+        from pytorch3d.io import load_ply as ref_load_ply
+
+        from pytorch3d_tpu.io import save_ply
+
+        rng = np.random.RandomState(0)
+        verts = jnp.asarray(rng.rand(7, 3).astype(np.float32))
+        faces = jnp.asarray(
+            [[0, 1, 2], [2, 3, 4], [4, 5, 6]], jnp.int32
+        )
+        for ascii_mode in (True, False):
+            with tempfile.TemporaryDirectory() as d:
+                path = os.path.join(d, "t.ply")
+                save_ply(path, verts, faces, ascii=ascii_mode)
+                rv, rf = ref_load_ply(path)
+                # ascii mode rounds to 6 decimal places by design
+                atol = 1e-6 if ascii_mode else 0.0
+                np.testing.assert_allclose(
+                    t2n(rv), np.asarray(verts), rtol=1e-5, atol=atol
+                )
+                np.testing.assert_array_equal(t2n(rf), np.asarray(faces))
