@@ -313,3 +313,64 @@ class TestUtils:
         out = masked_gather(pts, idx)
         assert (np.asarray(out)[0, 2] == 0).all()
         np.testing.assert_allclose(np.asarray(out)[0, 1], [6, 7, 8])
+
+
+class TestPaddingIndependence:
+    """Batched (padded) results must equal single-mesh results — the
+    regression class of the pad-edges-at-0 bug (padding edges inflated
+    vertex-0 degrees in every edge-segment-sum op)."""
+
+    def _two_meshes(self):
+        from pytorch3d_tpu.utils import ico_sphere
+
+        m0 = ico_sphere(1)
+        m1 = ico_sphere(0)
+        v1 = m1.verts_padded()[0] * 1.3 + 0.1
+        return m0, m1.update_padded(v1[None])
+
+    def test_taubin_batched_equals_single(self):
+        from pytorch3d_tpu.ops import taubin_smoothing
+        from pytorch3d_tpu.structures import Meshes
+
+        m0, m1 = self._two_meshes()
+        batch = Meshes.create(
+            [m0.verts_padded()[0], m1.verts_padded()[0]],
+            [m0.faces_padded()[0], m1.faces_padded()[0]],
+        )
+        sm_b = taubin_smoothing(batch, num_iter=3)
+        sm_0 = taubin_smoothing(m0, num_iter=3)
+        sm_1 = taubin_smoothing(m1, num_iter=3)
+        np.testing.assert_allclose(
+            np.asarray(sm_b.verts_padded()[0]),
+            np.asarray(sm_0.verts_padded()[0]),
+            atol=1e-6,
+        )
+        n1 = int(m1.num_verts_per_mesh()[0])
+        np.testing.assert_allclose(
+            np.asarray(sm_b.verts_padded()[1][:n1]),
+            np.asarray(sm_1.verts_padded()[0][:n1]),
+            atol=1e-6,
+        )
+
+    def test_gather_scatter_ignores_padding_edges(self):
+        from pytorch3d_tpu.ops.graph_conv import gather_scatter
+
+        x = jnp.asarray([[1.0], [2.0], [4.0]])
+        edges = jnp.asarray([[0, 1], [1, 2], [-1, -1], [-1, -1]], jnp.int32)
+        out = np.asarray(gather_scatter(x, edges))
+        # vertex 0 sums only neighbor 1 (padding edges contribute nothing)
+        np.testing.assert_allclose(out, [[2.0], [5.0], [2.0]])
+
+    def test_uniform_laplacian_loss_batched_equals_weighted_singles(self):
+        from pytorch3d_tpu.loss import mesh_laplacian_smoothing
+        from pytorch3d_tpu.structures import Meshes
+
+        m0, m1 = self._two_meshes()
+        batch = Meshes.create(
+            [m0.verts_padded()[0], m1.verts_padded()[0]],
+            [m0.faces_padded()[0], m1.faces_padded()[0]],
+        )
+        lb = float(mesh_laplacian_smoothing(batch))
+        l0 = float(mesh_laplacian_smoothing(m0))
+        l1 = float(mesh_laplacian_smoothing(m1))
+        np.testing.assert_allclose(lb, (l0 + l1) / 2.0, rtol=1e-5)

@@ -297,3 +297,23 @@ class TestKnnPallasVsXLA:
             np.asarray(d_p), np.asarray(ref.dists[0]), atol=1e-5
         )
         assert int(np.asarray(i_p).max()) < 1800
+
+
+class TestHeuristicCapacity:
+    def test_small_image_heuristic_is_full_capacity(self):
+        # At 64px every face overlaps the only tile pair; the old F//4
+        # guess silently dropped 75% of an ico5's faces under jit (the
+        # overflow callback cannot fire on runtimes without host
+        # callbacks). Below 8 tiles the heuristic must hold all faces.
+        fv, valid = _sphere_faces(level=3, image_size=64)
+        F = fv.shape[0]
+        tile = rmp._tile_for_k(3)
+        mft = rmp._heuristic_mft(F, (64, 64), tile)
+        assert mft >= F
+        out = rmp._bin_faces(fv, valid, (64, 64), 0.0, tile, mft)
+        assert int(np.asarray(out[-1])) == 0  # n_dropped
+
+    def test_large_image_heuristic_unchanged(self):
+        tile = rmp._tile_for_k(8)
+        mft = rmp._heuristic_mft(20480, (512, 512), tile)
+        assert mft == 5120  # F // 4 regime
