@@ -17,13 +17,19 @@ import jax
 
 def main(full: bool = False):
     from . import bm_points_knn_nerf, bm_rasterize_meshes
-    from .roofline import measured_hbm_bandwidth, measured_vpu_peak_flops
+    from .roofline import (
+        measured_hbm_bandwidth,
+        measured_vpu_issue_ops,
+        measured_vpu_peak_flops,
+    )
 
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
     vpu = measured_vpu_peak_flops()
+    ops = measured_vpu_issue_ops()
     hbm = measured_hbm_bandwidth()
     print(
-        f"measured VPU fp32 peak: {vpu / 1e12:.2f} TFLOP/s, "
+        f"measured VPU fp32 FMA peak: {vpu / 1e12:.2f} TFLOP/s, "
+        f"mixed-op issue: {ops / 1e12:.2f} Tops/s, "
         f"HBM: {hbm / 1e9:.0f} GB/s",
         flush=True,
     )
@@ -37,6 +43,7 @@ def main(full: bool = False):
     payload = {
         "device": jax.devices()[0].device_kind,
         "measured_vpu_fp32_tflops": vpu / 1e12,
+        "measured_vpu_issue_tops": ops / 1e12,
         "measured_hbm_gbps": hbm / 1e9,
         "rows": [asdict(r) for r in rows],
     }

@@ -91,7 +91,7 @@ def bench_config(level: int, image_size: int, K: int, blur: float):
     fwdbwd = jax.jit(jax.grad(loss))
 
     ideal_s = fine_kernel_roofline_s(fv, valid, (image_size,) * 2, blur, K)
-    cand = raster_candidates(fv, valid, (image_size,) * 2, blur)
+    cand = raster_candidates(fv, valid, (image_size,) * 2, blur, K)
 
     rows = []
     for tag, fn in (("fwd", fwd), ("fwd_bwd", fwdbwd)):

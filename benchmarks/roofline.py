@@ -72,13 +72,11 @@ def measured_vpu_peak_flops() -> float:
         )(x)
     )
     x = jnp.ones(shape, jnp.float32)
-    jax.block_until_ready(run(x))
-    n_rep = 10
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        o = run(x)
-    jax.block_until_ready(o)
-    dt = (time.perf_counter() - t0) / n_rep
+    # time_fn does the honest remote-queue sync (block_until_ready can
+    # return early under the axon tunnel and inflate the measured peak)
+    from .runner import time_fn
+
+    dt = time_fn(lambda: run(x), warmup=2, iters=10)
     return shape[0] * shape[1] * flops_per_elem / dt
 
 
@@ -90,18 +88,69 @@ def measured_hbm_bandwidth() -> float:
     n = 256 * 1024 * 1024 // 4  # 256 MB
     x = jnp.arange(n, dtype=jnp.float32)
     run = jax.jit(lambda x: x * 1.0000001)
-    jax.block_until_ready(run(x))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        o = run(x)
-    jax.block_until_ready(o)
-    dt = (time.perf_counter() - t0) / 5
+    from .runner import time_fn
+
+    dt = time_fn(lambda: run(x), warmup=1, iters=5)
     return 2 * n * 4 / dt
 
 
 # --------------------------------------------------------------------------- #
 # Fine-kernel op model
 # --------------------------------------------------------------------------- #
+
+
+@functools.lru_cache(maxsize=1)
+def measured_vpu_issue_ops() -> float:
+    """Sustained mixed-op VPU issue rate (vector ops/s, lanes included).
+
+    The fine rasterization kernel's op mix is fma/mul/cmp/select — ops
+    the VPU multi-issues across ports.  A pure-FMA chain measures ~0.67
+    ops/lane-cycle (latency-bound); mixed microkernels sustain 2+.  The
+    probe runs several op mixes and takes the best, but remains a LOWER
+    bound on the hardware ceiling: the KNN kernel demonstrates ~4.0
+    Tops/s of useful work (full quad-issue), so roofline fractions
+    against this denominator can overstate closeness up to ~2x — read
+    them comparatively, not absolutely (see PERF_ANALYSIS.md)."""
+    if jax.default_backend() != "tpu":
+        return 1e11
+    shape = (64, 512)
+    n_iter = 2048
+    from .runner import time_fn
+
+    def probe(n_chains, wide):
+        def kern(x_ref, o_ref):
+            x = x_ref[...]
+            accs = [x * (1.0 + 0.01 * i) for i in range(n_chains)]
+            thr = [x + 0.5 + 0.01 * i for i in range(n_chains)]
+
+            def body(i, accs):
+                out = []
+                for j, a in enumerate(accs):
+                    v = a * 1.000001 + 0.01          # fma
+                    take = v < thr[j]                 # cmp
+                    w = jnp.where(take, v, a * 0.999999)  # select + mul
+                    if wide:
+                        w = w * 1.0000005 + 0.002     # second fma
+                        w = jnp.minimum(w, thr[j] + 2.0)  # min (+add)
+                    out.append(w)
+                return tuple(out)
+
+            accs = jax.lax.fori_loop(0, n_iter, body, tuple(accs))
+            o_ref[...] = sum(accs)
+
+        run = jax.jit(
+            lambda x: pl.pallas_call(
+                kern, out_shape=jax.ShapeDtypeStruct(shape, jnp.float32)
+            )(x)
+        )
+        x = jnp.ones(shape, jnp.float32)
+        dt = time_fn(lambda: run(x), warmup=2, iters=10)
+        ops_per = 7 if wide else 4
+        return shape[0] * shape[1] * n_iter * n_chains * ops_per / dt
+
+    return max(
+        probe(4, False), probe(8, False), probe(4, True), probe(8, True)
+    )
 
 
 def fine_kernel_flops_per_candidate(
@@ -129,20 +178,25 @@ def fine_kernel_flops_per_candidate(
 
 
 def raster_candidates(
-    face_verts, valid, image_size: Tuple[int, int], blur_radius: float
+    face_verts,
+    valid,
+    image_size: Tuple[int, int],
+    blur_radius: float,
+    faces_per_pixel: int = 1,
 ) -> int:
     """Total candidate (face x pixel) evaluations the tile kernel performs:
-    sum over tiles of bbox-overlap count x pixels per tile."""
+    sum over tiles of bbox-overlap count x pixels per tile (tile shape is
+    K-dependent, see rasterize_pallas._tile_for_k)."""
     from pytorch3d_tpu.renderer.mesh.rasterize_pallas import (
-        _TILE_H,
-        _TILE_W,
+        _tile_for_k,
         _tile_overlap,
     )
 
+    tile = _tile_for_k(faces_per_pixel)
     overlap, _, _ = _tile_overlap(
-        face_verts, valid, image_size, blur_radius, (_TILE_H, _TILE_W)
+        face_verts, valid, image_size, blur_radius, tile
     )
-    return int(jnp.sum(overlap.astype(jnp.int64))) * _TILE_H * _TILE_W
+    return int(jnp.sum(overlap.astype(jnp.int64))) * tile[0] * tile[1]
 
 
 def fine_kernel_roofline_s(
@@ -154,9 +208,14 @@ def fine_kernel_roofline_s(
     emit_fragments: bool = True,
     perspective_correct: bool = False,
 ) -> float:
-    """Ideal seconds for the fine pass at measured VPU peak."""
-    cand = raster_candidates(face_verts, valid, image_size, blur_radius)
+    """Ideal seconds for the fine pass: per-candidate vector-op count
+    executed at the measured mixed-op VPU issue rate (the kernel's ops
+    are mostly non-FMA compares/selects, so an op roofline — not a FLOP
+    roofline — is the meaningful speed-of-light)."""
+    cand = raster_candidates(
+        face_verts, valid, image_size, blur_radius, faces_per_pixel
+    )
     fl = fine_kernel_flops_per_candidate(
         faces_per_pixel, blur_radius > 0, emit_fragments, perspective_correct
     )
-    return cand * fl / measured_vpu_peak_flops()
+    return cand * fl / measured_vpu_issue_ops()
