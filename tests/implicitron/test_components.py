@@ -600,3 +600,28 @@ class TestRenderFlyaround:
         import os as _os
 
         assert _os.path.isfile(path) and _os.path.getsize(path) > 0
+
+
+class TestPrefetchingLoader:
+    def test_threaded_prefetch_matches_sync_order(self):
+        from pytorch3d_tpu.implicitron.dataset.data_loader_map_provider import (
+            _Loader,
+        )
+        from pytorch3d_tpu.implicitron.dataset.rendered_mesh_dataset_map_provider import (
+            RenderedMeshDatasetMapProvider,
+        )
+
+        provider = RenderedMeshDatasetMapProvider(num_views=6, resolution=8)
+        dsmap = provider.get_dataset_map()
+        ds = dsmap["train"] if isinstance(dsmap, dict) else dsmap.train
+        n = len(ds)
+        assert n >= 3
+        batches = [[0, 1], [2, 0], [1, 2], [0, 2]]
+        sync = list(_Loader(ds, batches))
+        pre = list(_Loader(ds, batches, num_workers=3))
+        assert len(sync) == len(pre) == 4
+        for a, b in zip(sync, pre):
+            np.testing.assert_allclose(
+                np.asarray(a.image_rgb), np.asarray(b.image_rgb)
+            )
+            assert list(a.frame_number) == list(b.frame_number)
