@@ -113,36 +113,42 @@ class FishEyeCameras(CamerasBase):
         return delta
 
     def transform_points(self, points, eps: Optional[float] = None, **kwargs) -> jnp.ndarray:
-        """Project world/view points to image coords (reference :214)."""
+        """Project world/view points to image coords (reference :147).
+
+        Follows the reference `_project_points_batch` exactly: the base
+        coordinates are perspective `ab = xy/z` (so `use_radial=False`
+        degrades to a pinhole model, and negative-z points project
+        symmetrically, reference :158), the tangential/thin-prism terms
+        are always evaluated on the radial `xr_yr` coordinates, and the
+        returned z component is 1 (reference :229)."""
         if points.ndim == 2:
             points = points[None]
         if self.world_coordinates or kwargs.get("from_world", False):
             w2v = get_world_to_view_transform(self.R, self.T)
             points = w2v.transform_points(points)
-        x, y, z = points[..., 0], points[..., 1], points[..., 2]
         eps = eps or 1e-9
-        r = jnp.sqrt(x * x + y * y)
-        theta = jnp.arctan2(r, z)
+        z = points[..., 2:]
+        zsafe = jnp.where(jnp.abs(z) > eps, z, eps)
+        ab = points[..., :2] / zsafe
+        r = jnp.sqrt(jnp.sum(ab * ab, axis=-1))
+        theta = jnp.arctan(r)
 
-        if self.use_radial:
-            th2 = theta * theta
-            th_pow = jnp.stack(
-                [th2 ** (i + 1) for i in range(6)], axis=-1
-            )  # theta^2..theta^12
-            k = self.radial_params[:, None, :]
-            th_d = theta * (1.0 + jnp.sum(k * th_pow, axis=-1))
-        else:
-            th_d = theta
+        th2 = theta * theta
+        th_pow = jnp.stack(
+            [th2 ** (i + 1) for i in range(6)], axis=-1
+        )  # theta^2..theta^12
+        k = self.radial_params[:, None, :]
+        th_radial = 1.0 + jnp.sum(k * th_pow, axis=-1)
+        # th/r with the r->0 limit of 1
+        th_divr = jnp.where(r > eps, theta / jnp.clip(r, eps), 1.0)
+        xr_yr = (th_radial * th_divr)[..., None] * ab
 
-        inv_r = jnp.where(r > eps, 1.0 / jnp.clip(r, eps), 0.0)
-        u = th_d * x * inv_r
-        v = th_d * y * inv_r
-        uv = jnp.stack([u, v], axis=-1)
-        uv = uv + self._distort(uv, uv)
+        uv = xr_yr if self.use_radial else ab
+        uv = uv + self._distort(xr_yr, uv)
         f = self.focal_length[:, None, :]
         c = self.principal_point[:, None, :]
         xy = f * uv + c
-        return jnp.concatenate([xy, points[..., 2:]], axis=-1)
+        return jnp.concatenate([xy, jnp.ones_like(z)], axis=-1)
 
     def unproject_points(
         self, xy_depth: jnp.ndarray, world_coordinates: bool = True, **kwargs

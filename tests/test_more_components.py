@@ -99,15 +99,21 @@ class TestFishEye:
             + np.asarray([0, 0, 2.0], np.float32)
         )
         proj = fe.transform_points(pts)
-        unproj = fe.unproject_points(proj, world_coordinates=False)
+        # reference contract: transform returns z=1 (fisheyecameras.py:229);
+        # the caller supplies the depth to unproject at.
+        proj_depth = proj.at[..., 2].set(pts[..., 2])
+        unproj = fe.unproject_points(proj_depth, world_coordinates=False)
         np.testing.assert_allclose(
             np.asarray(unproj), np.asarray(pts), atol=1e-4
         )
 
-    def test_distortion_increases_radius(self):
-        no_dist = FishEyeCameras.create(
+    def test_positive_k0_increases_radius(self):
+        # radial polynomial with positive k0 pushes points outward
+        # relative to the undistorted equidistant map (k == 0)
+        eq = FishEyeCameras.create(
             focal_length=1.0, principal_point=(0.0, 0.0),
-            use_radial=False, use_tangential=False, use_thin_prism=False,
+            radial_params=((0.0,) * 6,),
+            use_tangential=False, use_thin_prism=False,
         )
         dist = FishEyeCameras.create(
             focal_length=1.0, principal_point=(0.0, 0.0),
@@ -115,9 +121,15 @@ class TestFishEye:
             use_tangential=False, use_thin_prism=False,
         )
         pt = jnp.asarray([[[0.5, 0.0, 1.0]]])
-        r0 = float(jnp.abs(no_dist.transform_points(pt)[0, 0, 0]))
+        r0 = float(jnp.abs(eq.transform_points(pt)[0, 0, 0]))
         r1 = float(jnp.abs(dist.transform_points(pt)[0, 0, 0]))
-        assert r1 > r0  # positive k0 pushes points outward
+        assert r1 > r0
+        # and use_radial=False degrades to the pinhole model (ref :199)
+        pin = FishEyeCameras.create(
+            focal_length=1.0, principal_point=(0.0, 0.0),
+            use_radial=False, use_tangential=False, use_thin_prism=False,
+        )
+        assert abs(float(pin.transform_points(pt)[0, 0, 0]) - 0.5) < 1e-6
 
 
 class TestTrainerE2E:

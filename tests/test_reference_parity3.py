@@ -357,3 +357,78 @@ class TestMeshLossGradParity:
     def test_normal_consistency_grads(self):
         g_ours, g_ref = self._grads("mesh_normal_consistency")
         np.testing.assert_allclose(g_ours, g_ref, rtol=2e-3, atol=2e-5)
+
+
+class TestFishEyeParity:
+    """Direct transform/unproject parity vs the reference's pure-torch
+    FishEyeCameras (renderer/fisheyecameras.py:70) across distortion
+    option combos — complements the golden-render parity."""
+
+    def _params(self, seed=0):
+        rng = np.random.RandomState(seed)
+        return dict(
+            focal_length=np.asarray([[1.2]], np.float32),
+            principal_point=np.asarray([[0.03, -0.02]], np.float32),
+            radial_params=np.asarray(
+                [[0.1, -0.05, 0.02, 0.0, 0.0, 0.0]], np.float32
+            ),
+            tangential_params=np.asarray([[0.01, -0.015]], np.float32),
+            thin_prism_params=np.asarray(
+                [[0.005, -0.003, 0.002, -0.001]], np.float32
+            ),
+        ), rng.randn(1, 40, 3).astype(np.float32) * 0.3 + np.asarray(
+            [0.0, 0.0, 2.0], np.float32
+        )
+
+    @pytest.mark.parametrize(
+        "use_radial,use_tangential,use_thin_prism",
+        [
+            (True, True, True),
+            (True, False, False),
+            (False, True, False),
+            (False, False, True),
+            (False, False, False),
+        ],
+    )
+    def test_transform_points(
+        self, use_radial, use_tangential, use_thin_prism
+    ):
+        from pytorch3d.renderer.fisheyecameras import (
+            FishEyeCameras as RefFishEye,
+        )
+
+        from pytorch3d_tpu.renderer.fisheyecameras import FishEyeCameras
+
+        p, pts = self._params()
+        flags = dict(
+            use_radial=use_radial,
+            use_tangential=use_tangential,
+            use_thin_prism=use_thin_prism,
+        )
+        ref = RefFishEye(
+            **{k: torch.from_numpy(v) for k, v in p.items()}, **flags
+        )
+        ours = FishEyeCameras.create(
+            **{k: jnp.asarray(v) for k, v in p.items()}, **flags
+        )
+        out_ref = t2n(ref.transform_points(torch.from_numpy(pts)))
+        out = np.asarray(ours.transform_points(jnp.asarray(pts)))
+        np.testing.assert_allclose(out, out_ref, rtol=1e-4, atol=1e-5)
+
+    def test_unproject_roundtrip_full_distortion(self):
+        from pytorch3d.renderer.fisheyecameras import (
+            FishEyeCameras as RefFishEye,
+        )
+
+        from pytorch3d_tpu.renderer.fisheyecameras import FishEyeCameras
+
+        p, pts = self._params(seed=1)
+        ref = RefFishEye(**{k: torch.from_numpy(v) for k, v in p.items()})
+        ours = FishEyeCameras.create(
+            **{k: jnp.asarray(v) for k, v in p.items()}
+        )
+        uv_ref = ref.transform_points(torch.from_numpy(pts))
+        un_ref = t2n(ref.unproject_points(uv_ref))
+        uv = ours.transform_points(jnp.asarray(pts))
+        un = np.asarray(ours.unproject_points(uv))
+        np.testing.assert_allclose(un, un_ref, rtol=1e-3, atol=1e-4)
