@@ -28,6 +28,10 @@ from ..mesh.rasterize_meshes import pix_to_non_square_ndc
 _TILE_H = 32
 _TILE_W = 128
 
+from ..mesh.rasterize_pallas import _tile_for_k  # noqa: E402  (shared rule:
+# the K-deep per-pixel state makes the kernels' scoped-VMEM stack grow as
+# K*TH, so tile height shrinks for K > 32)
+
 
 def _bin_points(
     points: jnp.ndarray,  # (P, 3)
@@ -35,10 +39,12 @@ def _bin_points(
     valid: jnp.ndarray,  # (P,)
     image_size: Tuple[int, int],
     max_points_per_tile: int,
+    tile: Tuple[int, int] = (_TILE_H, _TILE_W),
 ):
     H, W = image_size
-    n_ty = -(-H // _TILE_H)
-    n_tx = -(-W // _TILE_W)
+    TH, TW = tile
+    n_ty = -(-H // TH)
+    n_tx = -(-W // TW)
     P = points.shape[0]
 
     x = points[:, 0]
@@ -48,10 +54,10 @@ def _bin_points(
     ymin = y - radius
     ymax = y + radius
 
-    rows0 = jnp.arange(n_ty) * _TILE_H
-    rows1 = jnp.minimum(rows0 + _TILE_H, H) - 1
-    cols0 = jnp.arange(n_tx) * _TILE_W
-    cols1 = jnp.minimum(cols0 + _TILE_W, W) - 1
+    rows0 = jnp.arange(n_ty) * TH
+    rows1 = jnp.minimum(rows0 + TH, H) - 1
+    cols0 = jnp.arange(n_tx) * TW
+    cols1 = jnp.minimum(cols0 + TW, W) - 1
     ty_max = pix_to_non_square_ndc(H - 1 - rows0, H, W)
     ty_min = pix_to_non_square_ndc(H - 1 - rows1, H, W)
     tx_max = pix_to_non_square_ndc(W - 1 - cols0, W, H)
@@ -112,13 +118,15 @@ def _fine_kernel(
     n_tx: int,
     image_size: Tuple[int, int],
     points_per_pixel: int,
+    tile: Tuple[int, int] = (_TILE_H, _TILE_W),
 ):
     H, W = image_size
+    TH, TW = tile
     K = points_per_pixel
     t = pl.program_id(0)
     ty = t // n_tx
     tx = t % n_tx
-    px, py = _pixel_coords(_TILE_H, _TILE_W, ty, tx, H, W)
+    px, py = _pixel_coords(TH, TW, ty, tx, H, W)
 
     def body(j, best):
         cx = data_ref[0, j]
@@ -146,11 +154,11 @@ def _fine_kernel(
             out.append(merged)
         return tuple(out)
 
-    zeros = jnp.zeros((_TILE_H, _TILE_W), jnp.float32)
+    zeros = jnp.zeros((TH, TW), jnp.float32)
     init = tuple(
         (
-            jnp.full((_TILE_H, _TILE_W), jnp.inf, jnp.float32),
-            jnp.full((_TILE_H, _TILE_W), -1, jnp.int32),
+            jnp.full((TH, TW), jnp.inf, jnp.float32),
+            jnp.full((TH, TW), -1, jnp.int32),
             zeros,
         )
         for _ in range(K)
@@ -174,14 +182,16 @@ def _grad_kernel(
     n_tx: int,
     image_size: Tuple[int, int],
     points_per_pixel: int,
+    tile: Tuple[int, int] = (_TILE_H, _TILE_W),
 ):
     H, W = image_size
+    TH, TW = tile
     K = points_per_pixel
     MPT = data_ref.shape[1]
     t = pl.program_id(0)
     ty = t // n_tx
     tx = t % n_tx
-    px, py = _pixel_coords(_TILE_H, _TILE_W, ty, tx, H, W)
+    px, py = _pixel_coords(TH, TW, ty, tx, H, W)
 
     idx_all = [idx_ref[k] for k in range(K)]
     gz_all = [gz_ref[k] for k in range(K)]
@@ -189,8 +199,8 @@ def _grad_kernel(
 
     def body(j, _):
         pid = ids_ref[0, j]
-        cgz = jnp.zeros((_TILE_H, _TILE_W), jnp.float32)
-        cgd = jnp.zeros((_TILE_H, _TILE_W), jnp.float32)
+        cgz = jnp.zeros((TH, TW), jnp.float32)
+        cgd = jnp.zeros((TH, TW), jnp.float32)
         hit = pid >= 0
         for k in range(K):
             m = ((idx_all[k] == pid) & hit).astype(jnp.float32)
@@ -249,8 +259,11 @@ def _rpf_fwd(points, radius, valid, image_size, points_per_pixel,
     # scalar memory (~128KB usable) -> cap the per-tile list at 4096.
     mpt = max(128, min(-(-mpt // 128) * 128, -(-P // 128) * 128, 4096))
 
+    tile = _tile_for_k(K)
+    TH, TW = tile
     data, ids, counts, n_ty, n_tx = _bin_points(
-        jax.lax.stop_gradient(points), radius, valid, image_size, mpt
+        jax.lax.stop_gradient(points), radius, valid, image_size, mpt,
+        tile,
     )
     n_tiles = n_ty * n_tx
     MPT = data.shape[2]
@@ -260,12 +273,13 @@ def _rpf_fwd(points, radius, valid, image_size, points_per_pixel,
         n_tx=n_tx,
         image_size=image_size,
         points_per_pixel=K,
+        tile=tile,
     )
     tspec = pl.BlockSpec(
-        (K, _TILE_H, _TILE_W), lambda t: (0, t // n_tx, t % n_tx)
+        (K, TH, TW), lambda t: (0, t // n_tx, t % n_tx)
     )
     fshape = jax.ShapeDtypeStruct(
-        (K, n_ty * _TILE_H, n_tx * _TILE_W), jnp.float32
+        (K, n_ty * TH, n_tx * TW), jnp.float32
     )
     idx_o, z_o, d_o = pl.pallas_call(
         kernel,
@@ -280,9 +294,7 @@ def _rpf_fwd(points, radius, valid, image_size, points_per_pixel,
         ],
         out_specs=[tspec] * 3,
         out_shape=[
-            jax.ShapeDtypeStruct(
-                (K, n_ty * _TILE_H, n_tx * _TILE_W), jnp.int32
-            ),
+            jax.ShapeDtypeStruct((K, n_ty * TH, n_tx * TW), jnp.int32),
             fshape,
             fshape,
         ],
@@ -305,10 +317,12 @@ def _rpf_bwd(image_size, points_per_pixel, max_points_per_tile, res, g):
     P = p_marker.shape[0]
     _, gz, gd = g
     K = points_per_pixel
-    n_tx = -(-image_size[1] // _TILE_W)
+    tile = _tile_for_k(K)  # must match the fwd binning tile
+    TH, TW = tile
+    n_tx = -(-image_size[1] // TW)
     n_tiles, _, MPT = data.shape
     n_ty = n_tiles // n_tx
-    Hp, Wp = n_ty * _TILE_H, n_tx * _TILE_W
+    Hp, Wp = n_ty * TH, n_tx * TW
 
     def pad_kmaj(x):
         x = jnp.moveaxis(x, -1, 0)
@@ -321,9 +335,10 @@ def _rpf_bwd(image_size, points_per_pixel, max_points_per_tile, res, g):
         n_tx=n_tx,
         image_size=image_size,
         points_per_pixel=K,
+        tile=tile,
     )
     tspec = pl.BlockSpec(
-        (K, _TILE_H, _TILE_W), lambda t: (0, t // n_tx, t % n_tx)
+        (K, TH, TW), lambda t: (0, t // n_tx, t % n_tx)
     )
     gout = pl.pallas_call(
         kernel,

@@ -262,6 +262,53 @@ class TestPointKernelVsXLA:
         )
 
 
+class TestPointsLargeK:
+    def test_k50_short_tile_matches(self):
+        # points kernel shares the mesh kernel's K-aware tile rule
+        assert rpp._tile_for_k(50) == (16, 128)
+        rng = np.random.RandomState(2)
+        P = 150
+        pts = jnp.asarray(
+            np.concatenate(
+                [rng.uniform(-0.5, 0.5, (P, 2)), rng.uniform(1, 2, (P, 1))],
+                axis=1,
+            ),
+            jnp.float32,
+        )
+        rad = jnp.full((P,), 0.25)  # big radius -> deep per-pixel lists
+        valid = jnp.ones((P,), bool)
+        K = 50
+        idx_p, zb_p, d_p = rpp.rasterize_points_fragments_pallas(
+            pts, rad, valid, (48, 48), K
+        )
+        idx_x = rasterize_points_topk_xla(pts, rad, valid, (48, 48), K)
+        assert float((idx_p == idx_x).mean()) == 1.0
+
+        def loss_pallas(p):
+            idx, zb, dd = rpp.rasterize_points_fragments_pallas(
+                p, rad, valid, (48, 48), K
+            )
+            m = idx >= 0
+            return jnp.sum(jnp.where(m, zb, 0.0)) + jnp.sum(
+                jnp.where(m, dd, 0.0)
+            )
+
+        def loss_xla(p):
+            zb, dd = recompute_point_fragments(p, idx_x, (48, 48))
+            m = idx_x >= 0
+            return jnp.sum(jnp.where(m, zb, 0.0)) + jnp.sum(
+                jnp.where(m, dd, 0.0)
+            )
+
+        g_p = jax.grad(loss_pallas)(pts)
+        g_x = jax.grad(loss_xla)(pts)
+        # 50 hits/pixel accumulate in different orders on the two paths;
+        # fp32 ordering noise is ~3e-5 absolute here
+        np.testing.assert_allclose(
+            np.asarray(g_p), np.asarray(g_x), rtol=1e-3, atol=5e-5
+        )
+
+
 class TestKnnPallasVsXLA:
     """Pallas streaming-min-K KNN (ops/knn_pallas.py) vs the XLA
     knn_points path — exact equality including tie order."""
