@@ -22,6 +22,7 @@ from .cameras import (
     look_at_view_transform,
     try_get_projection_transform,
 )
+from .splatter_blend import SplatterBlender
 from .camera_conversions import (
     cameras_from_opencv_projection,
     opencv_from_cameras_projection,
@@ -65,6 +66,7 @@ from .mesh import (
     SoftPhongShader,
     SoftSilhouetteShader,
     SplatterPhongShader,
+    Textures,
     TexturesAtlas,
     TexturesUV,
     TexturesVertex,

@@ -76,3 +76,57 @@ def opencv_from_cameras_projection(
     camera_matrix = camera_matrix.at[:, 1, 2].set(principal_point[:, 1])
     camera_matrix = camera_matrix.at[:, 2, 2].set(1.0)
     return R_cv, T_cv, camera_matrix
+
+
+def pulsar_from_opencv_projection(
+    R: jnp.ndarray,  # (N, 3, 3)
+    tvec: jnp.ndarray,  # (N, 3) or (N, 3, 1)
+    camera_matrix: jnp.ndarray,  # (N, 3, 3)
+    image_size: jnp.ndarray,  # (N, 2) (height, width)
+    znear: float = 0.1,
+) -> jnp.ndarray:
+    """OpenCV camera parameters -> pulsar 13-float camera vectors
+    (reference renderer/camera_conversions.py:101 via
+    utils/camera_conversions.py:98).
+
+    Layout: 3 cam position, 6 rotation (6d), focal_length, sensor_width,
+    c_x, c_y.  Pulsar supports one focal length only: fx/fy are averaged
+    (the reference warns above 1% disagreement).  The rendered image is
+    vertically flipped relative to OpenCV, as in the reference.
+    """
+    from ..transforms import matrix_to_rotation_6d
+
+    R = jnp.asarray(R, jnp.float32)
+    tvec = jnp.asarray(tvec, jnp.float32)
+    if tvec.ndim == 2:
+        tvec = tvec[..., None]  # (N, 3, 1)
+    camera_matrix = jnp.asarray(camera_matrix, jnp.float32)
+    image_size_wh = jnp.asarray(image_size, jnp.float32)[:, ::-1]
+    N = R.shape[0]
+
+    fx = camera_matrix[:, 0, 0][:, None]
+    fy = camera_matrix[:, 1, 1][:, None]
+    f = (fx + fy) / 2.0
+    image_w = image_size_wh[0, 0]
+    image_h = image_size_wh[0, 1]
+    focal_length_px = f / image_w
+    focal_length = jnp.full((N, 1), znear - 1e-5, jnp.float32)
+    sensor_width = focal_length / focal_length_px
+    cx = camera_matrix[:, 0, 2][:, None]
+    cy = camera_matrix[:, 1, 2][:, None]
+    cx = -(cx - image_w / 2.0)
+    cy = cy - image_h / 2.0
+    param = jnp.concatenate([focal_length, sensor_width, cx, cy], axis=1)
+    R_trans = jnp.swapaxes(R, 1, 2)
+    cam_pos = -jnp.einsum("nij,njk->nik", R_trans, tvec)[..., 0]
+    cam_rot = matrix_to_rotation_6d(R_trans)
+    return jnp.concatenate([cam_pos, cam_rot, param], axis=1)
+
+
+def pulsar_from_cameras_projection(
+    cameras, image_size: jnp.ndarray
+) -> jnp.ndarray:
+    """PyTorch3D PerspectiveCameras -> pulsar 13-float camera vectors
+    (reference renderer/camera_conversions.py:197)."""
+    R_cv, T_cv, K_cv = opencv_from_cameras_projection(cameras, image_size)
+    return pulsar_from_opencv_projection(R_cv, T_cv, K_cv, image_size)

@@ -19,6 +19,11 @@ from .shader import (
     SplatterPhongShader,
 )
 from .shading import flat_shading, gouraud_shading, phong_shading
-from .textures import TexturesAtlas, TexturesUV, TexturesVertex
+from .textures import (
+    Textures,
+    TexturesAtlas,
+    TexturesUV,
+    TexturesVertex,
+)
 
 __all__ = [k for k in dir() if not k.startswith("_")]

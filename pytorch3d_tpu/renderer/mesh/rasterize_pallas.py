@@ -73,9 +73,21 @@ def _round_mft(mft: int, F: int) -> int:
     return min(-(-mft // _CHUNK) * _CHUNK, _MFT_HARD_CAP)
 
 
-def _heuristic_mft(F: int) -> int:
+def _heuristic_mft(
+    F: int, image_size: Tuple[int, int], tile: Tuple[int, int]
+) -> int:
     """Static capacity guess when the exact requirement is unavailable
-    (mirrors reference rasterize_meshes.py:222 max_faces_per_bin)."""
+    (mirrors reference rasterize_meshes.py:222 max_faces_per_bin).
+
+    When the image is covered by only a few tiles, most faces land in
+    every tile, so a fractional-F guess silently drops faces (at 64px an
+    ico5's 20k faces all overlap the single tile pair; F//4 dropped 75%
+    of them with no recourse on runtimes without host callbacks).  Use
+    full-F capacity below 8 tiles — the cost is small exactly when the
+    tile count is small."""
+    n_tiles = -(-image_size[0] // tile[0]) * -(-image_size[1] // tile[1])
+    if n_tiles < 8:
+        return _round_mft(F, F)
     return _round_mft(int(min(F, max(1024, F // 4))), F)
 
 
@@ -464,7 +476,7 @@ def rasterize_topk_pallas(
     ok = _face_ok(face_verts, valid, cull_backfaces)
 
     if max_faces_per_tile is None:
-        mft = _heuristic_mft(F)
+        mft = _heuristic_mft(F, image_size, tile)
     else:
         mft = _round_mft(max_faces_per_tile, F)
 
@@ -779,7 +791,7 @@ def _rfp_fwd(
     ok = _face_ok(face_verts, valid, cull_backfaces)
 
     if max_faces_per_tile is None:
-        mft = _heuristic_mft(F)
+        mft = _heuristic_mft(F, image_size, tile)
     else:
         mft = _round_mft(max_faces_per_tile, F)
 

@@ -302,3 +302,26 @@ class TexturesAtlas:
         return cls(
             atlas_padded=jnp.concatenate([pad(t.atlas_padded) for t in textures])
         )
+
+
+def Textures(maps=None, faces_uvs=None, verts_uvs=None, verts_rgb=None):
+    """DEPRECATED factory kept for reference API compatibility
+    (reference renderer/mesh/textures.py:356): dispatches to TexturesUV
+    (all of maps/faces_uvs/verts_uvs given) or TexturesVertex
+    (verts_rgb given)."""
+    import warnings
+
+    warnings.warn(
+        "Textures is deprecated; use TexturesUV, TexturesAtlas, or "
+        "TexturesVertex instead.",
+        PendingDeprecationWarning,
+        stacklevel=2,
+    )
+    if faces_uvs is not None and verts_uvs is not None and maps is not None:
+        return TexturesUV(maps=maps, faces_uvs=faces_uvs, verts_uvs=verts_uvs)
+    if verts_rgb is not None:
+        return TexturesVertex(verts_features=verts_rgb)
+    raise ValueError(
+        "Textures either requires all three of (faces uvs, verts uvs, maps)"
+        " or verts rgb"
+    )

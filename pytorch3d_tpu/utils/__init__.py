@@ -1,5 +1,7 @@
 from ..renderer.camera_conversions import (
     cameras_from_opencv_projection,
+    pulsar_from_cameras_projection,
+    pulsar_from_opencv_projection,
     opencv_from_cameras_projection,
 )
 from .checkerboard import checkerboard

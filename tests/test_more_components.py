@@ -497,3 +497,31 @@ class TestTensorProperties:
         cl = tp.clone()
         cl.gather_props(jnp.asarray([0]))
         assert len(tp.a) == 3 and len(cl.a) == 1
+
+
+class TestLegacyTexturesFactory:
+    def test_dispatch(self):
+        import warnings
+
+        from pytorch3d_tpu.renderer import Textures, TexturesUV, TexturesVertex
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            t1 = Textures(verts_rgb=jnp.ones((1, 4, 3)))
+            assert isinstance(t1, TexturesVertex)
+            t2 = Textures(
+                maps=jnp.ones((1, 8, 8, 3)),
+                faces_uvs=jnp.zeros((1, 2, 3), jnp.int32),
+                verts_uvs=jnp.zeros((1, 4, 2)),
+            )
+            assert isinstance(t2, TexturesUV)
+        try:
+            import warnings as w
+
+            with w.catch_warnings():
+                w.simplefilter("ignore")
+                Textures()
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised

@@ -432,3 +432,78 @@ class TestFishEyeParity:
         uv = ours.transform_points(jnp.asarray(pts))
         un = np.asarray(ours.unproject_points(uv))
         np.testing.assert_allclose(un, un_ref, rtol=1e-3, atol=1e-4)
+
+
+class TestPulsarCameraConversionParity:
+    def test_pulsar_from_opencv_projection(self):
+        from pytorch3d.utils import (
+            pulsar_from_opencv_projection as ref_fn,
+        )
+
+        from pytorch3d_tpu.utils import pulsar_from_opencv_projection
+
+        rng = np.random.RandomState(0)
+        N = 3
+        # random valid rotations via QR
+        Rs = []
+        for _ in range(N):
+            q, _ = np.linalg.qr(rng.randn(3, 3))
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            Rs.append(q.astype(np.float32))
+        R = np.stack(Rs)
+        tvec = rng.randn(N, 3).astype(np.float32)
+        K = np.zeros((N, 3, 3), np.float32)
+        K[:, 0, 0] = 100.0 + rng.rand(N)
+        K[:, 1, 1] = 100.0 + rng.rand(N)
+        K[:, 0, 2] = 64.0 + rng.randn(N)
+        K[:, 1, 2] = 48.0 + rng.randn(N)
+        K[:, 2, 2] = 1.0
+        image_size = np.tile(np.asarray([[96, 128]], np.int64), (N, 1))
+
+        out_ref = t2n(
+            ref_fn(
+                torch.from_numpy(R),
+                torch.from_numpy(tvec),
+                torch.from_numpy(K),
+                torch.from_numpy(image_size),
+                znear=0.2,
+            )
+        )
+        out = np.asarray(
+            pulsar_from_opencv_projection(
+                jnp.asarray(R), jnp.asarray(tvec), jnp.asarray(K),
+                jnp.asarray(image_size), znear=0.2,
+            )
+        )
+        np.testing.assert_allclose(out, out_ref, rtol=1e-4, atol=1e-5)
+
+    def test_pulsar_from_cameras_projection(self):
+        from pytorch3d.renderer import PerspectiveCameras as RefCams
+        from pytorch3d.utils import (
+            pulsar_from_cameras_projection as ref_fn,
+        )
+
+        from pytorch3d_tpu.renderer import PerspectiveCameras
+        from pytorch3d_tpu.utils import pulsar_from_cameras_projection
+
+        f = np.asarray([[100.0, 101.0]], np.float32)
+        pp = np.asarray([[63.0, 49.0]], np.float32)
+        image_size = np.asarray([[96, 128]], np.int64)
+        ref_c = RefCams(
+            focal_length=torch.from_numpy(f),
+            principal_point=torch.from_numpy(pp),
+            in_ndc=False,
+            image_size=torch.from_numpy(image_size),
+        )
+        our_c = PerspectiveCameras.create(
+            focal_length=jnp.asarray(f),
+            principal_point=jnp.asarray(pp),
+            in_ndc=False,
+            image_size=jnp.asarray(image_size),
+        )
+        out_ref = t2n(ref_fn(ref_c, torch.from_numpy(image_size)))
+        out = np.asarray(
+            pulsar_from_cameras_projection(our_c, jnp.asarray(image_size))
+        )
+        np.testing.assert_allclose(out, out_ref, rtol=1e-4, atol=1e-4)
