@@ -318,9 +318,11 @@ def Textures(maps=None, faces_uvs=None, verts_uvs=None, verts_rgb=None):
         stacklevel=2,
     )
     if faces_uvs is not None and verts_uvs is not None and maps is not None:
-        return TexturesUV(maps=maps, faces_uvs=faces_uvs, verts_uvs=verts_uvs)
+        return TexturesUV.create(
+            maps=maps, faces_uvs=faces_uvs, verts_uvs=verts_uvs
+        )
     if verts_rgb is not None:
-        return TexturesVertex(verts_features=verts_rgb)
+        return TexturesVertex.create(verts_rgb)
     raise ValueError(
         "Textures either requires all three of (faces uvs, verts uvs, maps)"
         " or verts rgb"
