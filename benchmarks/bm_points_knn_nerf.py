@@ -72,9 +72,12 @@ def bench_knn(N=100_000, M=100_000, D=3, K=8):
     ]
 
 
-def bench_nerf_step(n_rays=4096, n_pts=64):
+def bench_nerf_step(n_rays=4096, n_pts=64, dtype=None):
     """One jitted coarse+fine NeRF train step (the project-nerf hot path;
-    reference baseline 0.18 s/it on Quadro GP100, projects/nerf/README)."""
+    reference baseline 0.18 s/it on Quadro GP100, projects/nerf/README).
+
+    dtype=jnp.bfloat16 runs the MLPs with bf16 activations and fp32
+    params (one MXU pass per matmul instead of fp32's multi-pass)."""
     import optax
 
     from pytorch3d_tpu.models import RadianceFieldRenderer
@@ -95,6 +98,7 @@ def bench_nerf_step(n_rays=4096, n_pts=64):
         n_hidden_neurons_xyz=256,
         n_hidden_neurons_dir=128,
         n_layers_xyz=8,
+        **({"dtype": dtype} if dtype is not None else {}),
     )
     R, T = look_at_view_transform(dist=4.0, elev=20.0, azim=30.0)
     cams = FoVPerspectiveCameras.create(R=R, T=T, znear=0.5, zfar=10.0)
@@ -105,7 +109,8 @@ def bench_nerf_step(n_rays=4096, n_pts=64):
     opt_state = optimizer.init(params)
     step = make_nerf_train_step(model, optimizer)
 
-    name = f"nerf_step_{n_rays}rays_{2*n_pts}pts_mlp256x8"
+    tag = "_bf16" if dtype == jnp.bfloat16 else ""
+    name = f"nerf_step_{n_rays}rays_{2*n_pts}pts_mlp256x8{tag}"
     dt = time_fn(
         lambda: step(params, opt_state, cams, image, key),
         trace_dir=trace_dir_for(name),
@@ -123,7 +128,12 @@ def bench_nerf_step(n_rays=4096, n_pts=64):
 
 def main(out="BENCH_GRID_ops.json"):
     rows = []
-    for fn in (bench_points, bench_knn, bench_nerf_step):
+    for fn in (
+        bench_points,
+        bench_knn,
+        bench_nerf_step,
+        lambda: bench_nerf_step(dtype=jnp.bfloat16),
+    ):
         try:
             r = fn()
             for row in r:
