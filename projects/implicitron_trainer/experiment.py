@@ -184,11 +184,22 @@ class ImplicitronTrainingLoop(Configurable):
         exp_dir: str,
         start_epoch: int = 0,
     ):
+        # `params` is the full flax variables dict; only the "params"
+        # collection is trained — auxiliary collections (e.g. voxel-grid
+        # scaffolds/extents in "buffers") ride along untouched by the
+        # optimizer and are updated by epoch callbacks below.
+        variables = params
+        if "params" in variables:
+            train_params = variables["params"]
+            aux = {k: v for k, v in variables.items() if k != "params"}
+        else:  # legacy: a bare params tree
+            train_params, aux = variables, {}
+
         @jax.jit
-        def train_step(params, opt_state, image_rgb, camera, fg, key):
+        def train_step(params, aux, opt_state, image_rgb, camera, fg, key):
             def loss_fn(p):
                 preds = model.apply(
-                    p,
+                    {"params": p, **aux},
                     image_rgb=image_rgb,
                     camera=camera,
                     fg_probability=fg,
@@ -208,8 +219,27 @@ class ImplicitronTrainingLoop(Configurable):
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, preds
 
+        epoch_subs = (
+            model.epoch_subscriptions()
+            if hasattr(model, "epoch_subscriptions")
+            else ()
+        )
+
         key = jax.random.PRNGKey(self.seed)
         for epoch in range(start_epoch, self.max_epochs):
+            # scheduled module updates (voxel grid resolution changes,
+            # scaffold computation, volume cropping); a parameter-shape
+            # change invalidates optimizer state, so rebuild it
+            # (reference impl/training_loop.py re-creates the optimizer
+            # when a subscribed callback reports a change)
+            if epoch in epoch_subs:
+                new_vars, changed = model.apply_epoch_callbacks(
+                    {"params": train_params, **aux}, epoch
+                )
+                train_params = new_vars["params"]
+                aux = {k: v for k, v in new_vars.items() if k != "params"}
+                if changed:
+                    opt_state = optimizer.init(train_params)
             stats.new_epoch()
             # deterministic per-epoch shuffling (reference :166 reseeding)
             order = np.random.RandomState(self.seed + epoch).permutation(
@@ -218,8 +248,9 @@ class ImplicitronTrainingLoop(Configurable):
             for i in order:
                 frame = datasets["train"][int(i)]
                 key, sub = jax.random.split(key)
-                params, opt_state, loss, preds = train_step(
-                    params,
+                train_params, opt_state, loss, preds = train_step(
+                    train_params,
+                    aux,
                     opt_state,
                     frame.image_rgb,
                     frame.camera,
@@ -241,12 +272,16 @@ class ImplicitronTrainingLoop(Configurable):
 
             if self.store_checkpoints and exp_dir:
                 model_io.safe_save_model(
-                    params, opt_state, stats, exp_dir, epoch
+                    {"params": train_params, **aux},
+                    opt_state,
+                    stats,
+                    exp_dir,
+                    epoch,
                 )
                 purge = epoch - self.store_checkpoints_purge
                 if self.store_checkpoints_purge > 0 and purge >= 0:
                     model_io.purge_epoch(exp_dir, purge)
-        return params, opt_state
+        return {"params": train_params, **aux}, opt_state
 
 
 @dataclasses.dataclass
@@ -294,11 +329,12 @@ class Experiment(Configurable):
             fg_probability=frame0.fg_probability,
             evaluation_mode=EvaluationMode.TRAINING,
         )
+        train_params = params.get("params", params)
         optimizer = self.optimizer_factory(
             self.training_loop.max_epochs, len(datasets["train"]),
-            params=params,
+            params=train_params,
         )
-        opt_state = optimizer.init(params)
+        opt_state = optimizer.init(train_params)
 
         stats = Stats(
             log_vars=["objective", "loss_rgb_mse", "loss_rgb_psnr", "sec/it"]

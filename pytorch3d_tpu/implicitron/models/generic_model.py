@@ -115,6 +115,52 @@ class GenericModel(nn.Module):
         self._view_metrics = ViewMetrics()
         self._reg_metrics = RegularizationMetrics()
 
+    # ------------------------------------------------------------------ #
+    # epoch-scheduled module updates (reference generic_model.py routes
+    # `subscribe_to_epochs` through the training loop; here they are pure
+    # transforms of the variables pytree applied between jitted steps)
+    # ------------------------------------------------------------------ #
+
+    def _standalone_implicit_function(self):
+        fn_cls = registry.get(
+            ImplicitFunctionBase, self.implicit_function_class_type
+        )
+        return fn_cls(**(self.implicit_function_args or {}), parent=None)
+
+    def epoch_subscriptions(self) -> tuple:
+        """Epochs at which `apply_epoch_callbacks` must run (e.g. voxel
+        grid resolution changes / scaffold / cropping)."""
+        fn = self._standalone_implicit_function()
+        if hasattr(fn, "subscribe_to_epochs"):
+            return tuple(fn.subscribe_to_epochs())
+        return ()
+
+    def apply_epoch_callbacks(self, variables, epoch: int):
+        """Applies scheduled updates to every implicit function's
+        variables subtree. Returns (new variables, params_changed) —
+        when params_changed the caller must rebuild optimizer state.
+        Host-side (between jitted steps)."""
+        fn = self._standalone_implicit_function()
+        if not hasattr(fn, "apply_epoch"):
+            return variables, False
+        out = {k: dict(v) for k, v in variables.items()}
+        changed = False
+        for i in range(self.num_passes):
+            name = f"implicit_function_{i}"
+            sub = {
+                coll: out[coll][name]
+                for coll in out
+                if name in out[coll]
+            }
+            if not sub:
+                continue
+            new_sub, ch = fn.apply_epoch(sub, epoch)
+            for coll, tree in new_sub.items():
+                if coll in out and name in out[coll]:
+                    out[coll][name] = tree
+            changed = changed or ch
+        return out, changed
+
     def __call__(
         self,
         *,

@@ -8,10 +8,24 @@ from .scene_representation_networks import (
     SRNHyperNetImplicitFunction,
     SRNImplicitFunction,
 )
+from .decoding_functions import (
+    DecoderFunctionBase,
+    ElementwiseDecoder,
+    MLPDecoder,
+    MLPWithInputSkips,
+)
 from .voxel_grid import (
     CPFactorizedVoxelGrid,
     FullResolutionVoxelGrid,
     VMFactorizedVoxelGrid,
+    VoxelGridBase,
+    VoxelGridModule,
+    apply_resolution_change,
+    crop_values,
+    interpolate_line,
+    interpolate_plane,
+    interpolate_tensor,
+    interpolate_volume,
 )
 from .voxel_grid_implicit_function import VoxelGridImplicitFunction
 

@@ -83,6 +83,76 @@ def _install_iopath_stub():
     sys.modules["iopath.common.file_io"] = file_io
 
 
+def _install_omegaconf_stub():
+    """Minimal omegaconf so reference implicitron modules *import*;
+    anything exercising the real OmegaConf API raises (a test would
+    catch it)."""
+    if "omegaconf" in sys.modules:
+        return
+    import contextlib
+
+    om = types.ModuleType("omegaconf")
+
+    class DictConfig(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:  # pragma: no cover
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    class ListConfig(list):
+        pass
+
+    class OmegaConf:  # pragma: no cover - import-time names only
+        def __getattr__(self, name):
+            raise NotImplementedError(
+                f"omegaconf stub: OmegaConf.{name} not available"
+            )
+
+        @staticmethod
+        def create(obj=None):
+            return DictConfig(obj or {})
+
+    @contextlib.contextmanager
+    def open_dict(cfg):
+        yield cfg
+
+    om.DictConfig = DictConfig
+    om.ListConfig = ListConfig
+    om.OmegaConf = OmegaConf
+    om.open_dict = open_dict
+    om.MISSING = "???"
+    sys.modules["omegaconf"] = om
+
+
+def import_reference_implicitron_module(name: str):
+    """Import a reference `pytorch3d.implicitron.models.*` submodule while
+    BYPASSING `pytorch3d/implicitron/models/__init__.py` (it imports
+    GenericModel, whose class body runs the omegaconf-backed config
+    machinery). A bare package shim stands in for the __init__; the leaf
+    modules themselves only need omegaconf *names*, which the stub
+    provides."""
+    import importlib
+    import os
+
+    import_reference()
+    _install_omegaconf_stub()
+    base = "pytorch3d.implicitron.models"
+    if base not in sys.modules:
+        parent = importlib.import_module("pytorch3d.implicitron")
+        mod = types.ModuleType(base)
+        mod.__path__ = [
+            os.path.join(_REF_PATH, "pytorch3d", "implicitron", "models")
+        ]
+        mod.__package__ = base
+        sys.modules[base] = mod
+        parent.models = mod
+    return importlib.import_module(name)
+
+
 def import_reference():
     """Returns the reference `pytorch3d` package (or None if torch broken)."""
     if _REF_PATH not in sys.path:
