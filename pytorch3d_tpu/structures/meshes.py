@@ -378,6 +378,133 @@ class Meshes:
     def to(self, *args, **kwargs) -> "Meshes":
         return self
 
+    def cpu(self) -> "Meshes":
+        """Device shim (reference meshes.py:1327); placement is managed
+        by jax.device_put / shardings in this framework."""
+        return self
+
+    def cuda(self) -> "Meshes":
+        return self
+
+    # ------------------------------------------------------------------ #
+    # List accessors (host-side convenience; reference meshes.py:404-470
+    # returns the list representation — here sliced views of the padded
+    # tensors, so use outside jit)
+    # ------------------------------------------------------------------ #
+    def verts_list(self) -> List[jnp.ndarray]:
+        """Per-mesh (V_i, 3) vertex arrays (reference meshes.py:404)."""
+        counts = [int(n) for n in np.asarray(self._num_verts_per_mesh)]
+        return [self._verts_padded[i, :n] for i, n in enumerate(counts)]
+
+    def faces_list(self) -> List[jnp.ndarray]:
+        """Per-mesh (F_i, 3) face arrays (reference meshes.py:418)."""
+        counts = [int(n) for n in np.asarray(self._num_faces_per_mesh)]
+        return [self._faces_padded[i, :n] for i, n in enumerate(counts)]
+
+    def verts_normals_list(self) -> List[jnp.ndarray]:
+        """Per-mesh (V_i, 3) vertex normals (reference meshes.py:624)."""
+        normals = self.verts_normals_padded()
+        counts = [int(n) for n in np.asarray(self._num_verts_per_mesh)]
+        return [normals[i, :n] for i, n in enumerate(counts)]
+
+    def faces_normals_list(self) -> List[jnp.ndarray]:
+        """Per-mesh (F_i, 3) face normals (reference meshes.py:640)."""
+        normals = self.faces_normals_padded()
+        counts = [int(n) for n in np.asarray(self._num_faces_per_mesh)]
+        return [normals[i, :n] for i, n in enumerate(counts)]
+
+    def get_mesh_verts_faces(self, index: int):
+        """(verts, faces) of one mesh, unpadded (reference meshes.py:1492)."""
+        if not isinstance(index, int):
+            raise ValueError("Mesh index must be an integer.")
+        if index < 0 or index >= len(self):
+            raise ValueError("Mesh index out of bounds.")
+        nv = int(self._num_verts_per_mesh[index])
+        nf = int(self._num_faces_per_mesh[index])
+        return (
+            self._verts_padded[index, :nv],
+            self._faces_padded[index, :nf],
+        )
+
+    def split(self, split_sizes: List[int]) -> List["Meshes"]:
+        """Split the batch into sub-batches of the given sizes
+        (reference meshes.py:1451)."""
+        if sum(int(s) for s in split_sizes) != len(self):
+            raise ValueError(
+                "Split sizes must sum to the batch size."
+            )
+        out, start = [], 0
+        for s in split_sizes:
+            out.append(self[slice(start, start + int(s))])
+            start += int(s)
+        return out
+
+    def verts_padded_to_packed_idx(self) -> jnp.ndarray:
+        """(sum(V_i),)-style map from packed position to padded flat index
+        (reference meshes.py:823). In this padded-first layout the packed
+        view is the flat padded view, so the map is the identity over all
+        slots; compose with `verts_packed_mask()` for validity."""
+        N, V = self._verts_padded.shape[:2]
+        return jnp.arange(N * V, dtype=jnp.int32)
+
+    def mesh_to_edges_packed_first_idx(self) -> jnp.ndarray:
+        """(N,) first edge index per mesh in the packed edge tensor
+        (reference meshes.py:736)."""
+        self._compute_edges()
+        num = self.num_edges_per_mesh()
+        return jnp.concatenate(
+            [jnp.zeros((1,), num.dtype), jnp.cumsum(num)[:-1]]
+        )
+
+    def laplacian_packed(self):
+        """Uniform Laplacian over the packed verts as a sparse BCOO
+        matrix (reference meshes.py:1577 returns torch sparse). Host-side
+        (slices valid edges)."""
+        from ..ops.laplacian_matrices import laplacian
+
+        edges = self.edges_packed()
+        valid = np.asarray(self.edges_packed_mask())
+        return laplacian(self.verts_packed(), edges[valid])
+
+    def offset_verts_(self, vert_offsets_packed: jnp.ndarray) -> "Meshes":
+        """Reference's in-place variant (meshes.py:1239); arrays are
+        immutable in JAX, so this RETURNS the updated Meshes."""
+        return self.offset_verts(vert_offsets_packed)
+
+    def scale_verts_(self, scale) -> "Meshes":
+        """Reference's in-place variant (meshes.py:1296); returns the
+        updated Meshes (JAX immutability)."""
+        return self.scale_verts(scale)
+
+    def check_shapes(self) -> bool:
+        """Validate padded/count consistency (the reference validates in
+        __init__, meshes.py:234; this layout is constructed from arrays
+        so expose it as an explicit check)."""
+        N = len(self)
+        ok = (
+            self._verts_padded.ndim == 3
+            and self._verts_padded.shape[-1] == 3
+            and self._faces_padded.ndim == 3
+            and self._faces_padded.shape[-1] == 3
+            and self._num_verts_per_mesh.shape == (N,)
+            and self._num_faces_per_mesh.shape == (N,)
+            and bool(
+                jnp.all(
+                    self._num_verts_per_mesh
+                    <= self._verts_padded.shape[1]
+                )
+            )
+            and bool(
+                jnp.all(
+                    self._num_faces_per_mesh
+                    <= self._faces_padded.shape[1]
+                )
+            )
+        )
+        if not ok:
+            raise ValueError("Meshes padded/count shapes are inconsistent.")
+        return True
+
     # ------------------------------------------------------------------ #
     # Batch manipulation
     # ------------------------------------------------------------------ #

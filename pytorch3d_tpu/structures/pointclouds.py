@@ -11,6 +11,7 @@ from typing import List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from .utils import list_to_padded
@@ -170,6 +171,61 @@ class Pointclouds:
 
     def to(self, *args, **kwargs) -> "Pointclouds":
         return self
+
+    def cpu(self) -> "Pointclouds":
+        """Device shim (reference pointclouds.py:874); placement is
+        managed by jax.device_put / shardings here."""
+        return self
+
+    def cuda(self) -> "Pointclouds":
+        return self
+
+    # List accessors (host-side; reference pointclouds.py:370-460) ---------
+    def points_list(self):
+        """Per-cloud (P_i, 3) arrays (reference pointclouds.py:370)."""
+        counts = [int(n) for n in np.asarray(self._num_points_per_cloud)]
+        return [self._points_padded[i, :n] for i, n in enumerate(counts)]
+
+    def normals_list(self):
+        """Per-cloud (P_i, 3) normals or None (reference :384)."""
+        if self._normals_padded is None:
+            return None
+        counts = [int(n) for n in np.asarray(self._num_points_per_cloud)]
+        return [self._normals_padded[i, :n] for i, n in enumerate(counts)]
+
+    def features_list(self):
+        """Per-cloud (P_i, C) features or None (reference :399)."""
+        if self._features_padded is None:
+            return None
+        counts = [int(n) for n in np.asarray(self._num_points_per_cloud)]
+        return [self._features_padded[i, :n] for i, n in enumerate(counts)]
+
+    def split(self, split_sizes):
+        """Split the batch into sub-batches (reference :745)."""
+        if sum(int(s) for s in split_sizes) != len(self):
+            raise ValueError("Split sizes must sum to the batch size.")
+        out, start = [], 0
+        for s in split_sizes:
+            out.append(self[slice(start, start + int(s))])
+            start += int(s)
+        return out
+
+    def padded_to_packed_idx(self) -> jnp.ndarray:
+        """Map from packed position to padded flat index (reference
+        :1006). Identity over all slots in this padded-first layout;
+        compose with `points_packed_mask()` for validity."""
+        N, P = self._points_padded.shape[:2]
+        return jnp.arange(N * P, dtype=jnp.int32)
+
+    def offset_(self, offsets_packed: jnp.ndarray) -> "Pointclouds":
+        """Reference's in-place variant (pointclouds.py:766); arrays are
+        immutable in JAX, so this RETURNS the updated Pointclouds."""
+        return self.offset(offsets_packed)
+
+    def scale_(self, scale) -> "Pointclouds":
+        """Reference's in-place variant (pointclouds.py:793); returns the
+        updated Pointclouds (JAX immutability)."""
+        return self.scale(scale)
 
     # Batch manipulation ---------------------------------------------------
     def __getitem__(self, index) -> "Pointclouds":

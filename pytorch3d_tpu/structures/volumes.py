@@ -183,3 +183,23 @@ class Volumes:
 
     def clone(self) -> "Volumes":
         return self
+
+    def cpu(self) -> "Volumes":
+        """Device shim (reference volumes.py:1107); placement is managed
+        by jax.device_put / shardings here."""
+        return self
+
+    def cuda(self) -> "Volumes":
+        return self
+
+    def densities_list(self):
+        """Per-volume density tensors (reference volumes.py:398). All
+        volumes in this layout share one grid size, so these are views."""
+        return [self.densities()[i] for i in range(len(self))]
+
+    def features_list(self):
+        """Per-volume feature tensors or None (reference volumes.py:406)."""
+        feats = self.features()
+        if feats is None:
+            return None
+        return [feats[i] for i in range(len(self))]

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pytorch3d_tpu.structures import (
     Meshes,
@@ -226,3 +227,110 @@ class TestVolumes:
         assert grid.shape == (1, 2, 2, 2, 3)
         assert_close(grid[0, 0, 0, 0], jnp.array([-0.5, -0.5, -0.5]))
         assert_close(grid[0, 1, 1, 1], jnp.array([0.5, 0.5, 0.5]))
+
+
+class TestListAccessors:
+    """The reference's list-representation API surface
+    (meshes.py:404-470, pointclouds.py:370-460, volumes.py:398-406)."""
+
+    def _meshes(self):
+        from pytorch3d_tpu.structures import Meshes
+
+        v1 = np.random.RandomState(0).randn(4, 3).astype(np.float32)
+        f1 = np.array([[0, 1, 2], [1, 2, 3]], np.int64)
+        v2 = np.random.RandomState(1).randn(5, 3).astype(np.float32)
+        f2 = np.array([[0, 1, 2], [2, 3, 4], [0, 2, 4]], np.int64)
+        return Meshes.create([v1, v2], [f1, f2]), (v1, f1, v2, f2)
+
+    def test_meshes_lists(self):
+        m, (v1, f1, v2, f2) = self._meshes()
+        vl, fl = m.verts_list(), m.faces_list()
+        assert len(vl) == 2 and vl[0].shape == (4, 3) and vl[1].shape == (5, 3)
+        np.testing.assert_allclose(vl[0], v1)
+        np.testing.assert_array_equal(fl[1], f2)
+        nv = m.verts_normals_list()
+        nf = m.faces_normals_list()
+        assert nv[0].shape == (4, 3) and nf[1].shape == (3, 3)
+
+    def test_meshes_get_and_split(self):
+        m, (v1, f1, v2, f2) = self._meshes()
+        gv, gf = m.get_mesh_verts_faces(1)
+        np.testing.assert_allclose(gv, v2)
+        np.testing.assert_array_equal(gf, f2)
+        a, b = m.split([1, 1])
+        assert len(a) == 1 and len(b) == 1
+        np.testing.assert_allclose(a.verts_list()[0], v1)
+        with pytest.raises(ValueError):
+            m.split([1, 2])
+
+    def test_meshes_edges_first_idx_and_laplacian(self):
+        m, _ = self._meshes()
+        first = np.asarray(m.mesh_to_edges_packed_first_idx())
+        num = np.asarray(m.num_edges_per_mesh())
+        assert first[0] == 0 and first[1] == num[0]
+        L = m.laplacian_packed()
+        nv = m.verts_packed().shape[0]
+        assert L.shape == (nv, nv)
+        # rows of a valid vertex sum to ~0 (uniform laplacian property)
+        dense = np.asarray(L.todense())
+        row_sums = np.abs(dense[:4].sum(axis=1))
+        np.testing.assert_allclose(row_sums, 0.0, atol=1e-6)
+
+    def test_meshes_underscore_and_shims(self):
+        m, _ = self._meshes()
+        m2 = m.offset_verts_(jnp.ones(3))
+        assert m2 is not m
+        np.testing.assert_allclose(
+            np.asarray(m2.verts_list()[0]),
+            np.asarray(m.verts_list()[0]) + 1.0,
+            rtol=1e-6,
+        )
+        m3 = m.scale_verts_(2.0)
+        np.testing.assert_allclose(
+            np.asarray(m3.verts_list()[1]),
+            np.asarray(m.verts_list()[1]) * 2.0,
+            rtol=1e-6,
+        )
+        assert m.cpu() is m and m.cuda() is m
+        assert m.check_shapes()
+        idx = np.asarray(m.verts_padded_to_packed_idx())
+        assert idx.shape == (m.verts_packed().shape[0],)
+
+    def test_pointclouds_lists_and_split(self):
+        from pytorch3d_tpu.structures import Pointclouds
+
+        p1 = np.random.RandomState(2).randn(6, 3).astype(np.float32)
+        p2 = np.random.RandomState(3).randn(4, 3).astype(np.float32)
+        feats = [np.ones((6, 2), np.float32), np.zeros((4, 2), np.float32)]
+        pc = Pointclouds.create([p1, p2], features=feats)
+        pl = pc.points_list()
+        np.testing.assert_allclose(pl[1], p2)
+        fl = pc.features_list()
+        assert fl[0].shape == (6, 2) and float(fl[0].sum()) == 12.0
+        assert pc.normals_list() is None
+        a, b = pc.split([1, 1])
+        assert len(a) == 1
+        pc2 = pc.offset_(jnp.ones(3))
+        np.testing.assert_allclose(
+            np.asarray(pc2.points_list()[0]), p1 + 1.0, rtol=1e-6
+        )
+        pc3 = pc.scale_(3.0)
+        np.testing.assert_allclose(
+            np.asarray(pc3.points_list()[1]), p2 * 3.0, rtol=1e-5
+        )
+        assert pc.cpu() is pc and pc.cuda() is pc
+        idx = np.asarray(pc.padded_to_packed_idx())
+        assert idx.shape == (pc.points_packed().shape[0],)
+
+    def test_volumes_lists(self):
+        from pytorch3d_tpu.structures import Volumes
+
+        dens = np.random.RandomState(4).rand(2, 1, 3, 4, 5).astype(np.float32)
+        feats = np.random.RandomState(5).rand(2, 2, 3, 4, 5).astype(np.float32)
+        v = Volumes.create(densities=jnp.asarray(dens), features=jnp.asarray(feats))
+        dl = v.densities_list()
+        assert len(dl) == 2 and dl[0].shape == (1, 3, 4, 5)
+        np.testing.assert_allclose(dl[1], dens[1])
+        fl = v.features_list()
+        assert fl[0].shape == (2, 3, 4, 5)
+        assert v.cpu() is v and v.cuda() is v
