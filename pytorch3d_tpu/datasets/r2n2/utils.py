@@ -191,9 +191,7 @@ def render_cubified_voxels(voxels, shader_type=None, **kwargs):
         shader_type = HardPhongShader
     meshes = cubify(jnp.asarray(voxels, jnp.float32), CUBIFY_THRESH)
     meshes = meshes.replace(
-        textures=TexturesVertex(
-            verts_features_padded=jnp.ones_like(meshes.verts_padded())
-        )
+        textures=TexturesVertex.create(jnp.ones_like(meshes.verts_padded()))
     )
     cameras = kwargs.get("cameras") or BlenderCamera.create(
         R=jnp.broadcast_to(jnp.eye(3)[None], (len(meshes), 3, 3)),

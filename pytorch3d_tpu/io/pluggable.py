@@ -101,14 +101,12 @@ class MeshOffFormat(MeshFormatInterpreter):
         if include_textures and "verts_colors" in data:
             from ..renderer.mesh.textures import TexturesVertex
 
-            textures = TexturesVertex(
-                verts_features_padded=data["verts_colors"][None, :, :3]
-            )
+            textures = TexturesVertex.create(data["verts_colors"][None, :, :3])
         elif include_textures and "faces_colors" in data:
             from ..renderer.mesh.textures import TexturesAtlas
 
-            textures = TexturesAtlas(
-                atlas_padded=data["faces_colors"][None, :, None, None, :3]
+            textures = TexturesAtlas.create(
+                data["faces_colors"][None, :, None, None, :3]
             )
         return Meshes.create(
             [data["verts"]], [data["faces"]], textures=textures
@@ -123,10 +121,8 @@ class MeshOffFormat(MeshFormatInterpreter):
         nf = int(data.num_faces_per_mesh()[0])
         vcol = None
         tex = getattr(data, "textures", None)
-        if tex is not None and getattr(
-            tex, "verts_features_padded", None
-        ) is not None:
-            vcol = tex.verts_features_padded[0][:nv]
+        if tex is not None and hasattr(tex, "verts_features_padded"):
+            vcol = tex.verts_features_padded()[0][:nv]
         save_off(
             path,
             data.verts_padded()[0][:nv],

@@ -14,7 +14,7 @@ Three texture types, all immutable pytrees with padded storage:
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,15 +25,31 @@ from ...ops.interp_face_attrs import interpolate_face_attributes
 from ...structures.utils import list_to_padded
 
 
+def _subset_counts(counts, index):
+    """Subset a static per-mesh count tuple by a (host) index array."""
+    if counts is None:
+        return None
+    import numpy as np
+
+    return tuple(int(counts[int(i)]) for i in np.asarray(index))
+
+
 @struct.dataclass
 class TexturesVertex:
     """Per-vertex color textures."""
 
-    verts_features_padded: jnp.ndarray  # (N, V, C)
+    _verts_features_padded: jnp.ndarray  # (N, V, C)
+    # per-mesh valid vertex counts, recorded when created from lists
+    # (static so list accessors can unpad; None = all slots valid)
+    _num_verts: Optional[Tuple[int, ...]] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @classmethod
     def create(cls, verts_features) -> "TexturesVertex":
+        num = None
         if isinstance(verts_features, (list, tuple)):
+            num = tuple(int(f.shape[0]) for f in verts_features)
             verts_features = list_to_padded(
                 [jnp.asarray(f, jnp.float32) for f in verts_features]
             )
@@ -41,11 +57,70 @@ class TexturesVertex:
             verts_features = jnp.asarray(verts_features, jnp.float32)
         if verts_features.ndim != 3:
             raise ValueError("verts_features must be (N, V, C)")
-        return cls(verts_features_padded=verts_features)
+        return cls(_verts_features_padded=verts_features, _num_verts=num)
+
+    def verts_features_padded(self) -> jnp.ndarray:
+        """(N, V, C) padded per-vertex features (reference :1818)."""
+        return self._verts_features_padded
+
+    def verts_features_list(self) -> List[jnp.ndarray]:
+        """Per-mesh (V_i, C) features (reference :1808); host-side."""
+        x = self._verts_features_padded
+        counts = self._num_verts or (x.shape[1],) * x.shape[0]
+        return [x[i, :n] for i, n in enumerate(counts)]
 
     def verts_features_packed(self) -> jnp.ndarray:
-        N, V, C = self.verts_features_padded.shape
-        return self.verts_features_padded.reshape(N * V, C)
+        N, V, C = self._verts_features_padded.shape
+        return self._verts_features_padded.reshape(N * V, C)
+
+    def faces_verts_textures_packed(self, faces_packed=None) -> jnp.ndarray:
+        """(sum(F_i), 3, C) texture at each face vertex (reference
+        :1927). `faces_packed` are packed vertex indices."""
+        if faces_packed is None:
+            raise ValueError(
+                "TexturesVertex.faces_verts_textures_packed needs the "
+                "mesh's faces_packed()."
+            )
+        feats = self.verts_features_packed()
+        return feats[jnp.maximum(faces_packed, 0)]
+
+    def extend(self, N: int) -> "TexturesVertex":
+        """Repeat each texture N times (reference :1845)."""
+        if not isinstance(N, int) or N <= 0:
+            raise ValueError("N must be > 0.")
+        idx = jnp.repeat(
+            jnp.arange(self._verts_features_padded.shape[0]), N
+        )
+        num = (
+            tuple(n for n in self._num_verts for _ in range(N))
+            if self._num_verts
+            else None
+        )
+        return self.replace(
+            _verts_features_padded=self._verts_features_padded[idx],
+            _num_verts=num,
+        )
+
+    def clone(self) -> "TexturesVertex":
+        return self
+
+    def detach(self) -> "TexturesVertex":
+        return jax.lax.stop_gradient(self)
+
+    def check_shapes(self) -> bool:
+        if self._verts_features_padded.ndim != 3:
+            raise ValueError("verts_features must be (N, V, C)")
+        return True
+
+    def submeshes(self, vertex_ids_list, faces_ids_list) -> "TexturesVertex":
+        """Sub-texture selection matching Meshes.submeshes (reference
+        :1888): one output texture per (mesh, vertex-id set)."""
+        feats = self.verts_features_list()
+        out = []
+        for per_mesh_ids, f in zip(vertex_ids_list, feats):
+            for ids in per_mesh_ids:
+                out.append(f[jnp.asarray(ids)])
+        return TexturesVertex.create(out)
 
     def sample_textures(self, fragments, faces_packed=None) -> jnp.ndarray:
         feats = self.verts_features_packed()
@@ -59,26 +134,29 @@ class TexturesVertex:
             index = [index]
         if isinstance(index, (list, tuple)):
             index = jnp.asarray(index)
-        return TexturesVertex(verts_features_padded=self.verts_features_padded[index])
+        return TexturesVertex(
+            _verts_features_padded=self._verts_features_padded[index],
+            _num_verts=_subset_counts(self._num_verts, index),
+        )
 
     @classmethod
     def join_batch(cls, textures: List["TexturesVertex"]) -> "TexturesVertex":
-        V = max(t.verts_features_padded.shape[1] for t in textures)
+        V = max(t._verts_features_padded.shape[1] for t in textures)
 
         def pad(x):
             return jnp.pad(x, ((0, 0), (0, V - x.shape[1]), (0, 0)))
 
         return cls(
-            verts_features_padded=jnp.concatenate(
-                [pad(t.verts_features_padded) for t in textures]
+            _verts_features_padded=jnp.concatenate(
+                [pad(t._verts_features_padded) for t in textures]
             )
         )
 
     def join_scene(self, face_order=None) -> "TexturesVertex":
         # vertex features follow verts_packed; face compaction is irrelevant
-        N, V, C = self.verts_features_padded.shape
+        N, V, C = self._verts_features_padded.shape
         return TexturesVertex(
-            verts_features_padded=self.verts_features_padded.reshape(1, N * V, C)
+            _verts_features_padded=self._verts_features_padded.reshape(1, N * V, C)
         )
 
 
@@ -86,12 +164,20 @@ class TexturesVertex:
 class TexturesUV:
     """UV-mapped texture images."""
 
-    maps_padded: jnp.ndarray  # (N, Hm, Wm, C)
-    faces_uvs_padded: jnp.ndarray  # (N, F, 3) int32 into verts_uvs
-    verts_uvs_padded: jnp.ndarray  # (N, Vuv, 2)
+    _maps_padded: jnp.ndarray  # (N, Hm, Wm, C)
+    _faces_uvs_padded: jnp.ndarray  # (N, F, 3) int32 into verts_uvs
+    _verts_uvs_padded: jnp.ndarray  # (N, Vuv, 2)
     padding_mode: str = struct.field(pytree_node=False, default="border")
     align_corners: bool = struct.field(pytree_node=False, default=True)
     sampling_mode: str = struct.field(pytree_node=False, default="bilinear")
+    # per-mesh valid counts, recorded when created from lists (static;
+    # None = all padded slots valid)
+    _num_faces: Optional[Tuple[int, ...]] = struct.field(
+        pytree_node=False, default=None
+    )
+    _num_verts_uvs: Optional[Tuple[int, ...]] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @classmethod
     def create(
@@ -103,35 +189,172 @@ class TexturesUV:
         align_corners: bool = True,
         sampling_mode: str = "bilinear",
     ) -> "TexturesUV":
+        num_f = num_v = None
         if isinstance(maps, (list, tuple)):
             maps = jnp.stack([jnp.asarray(m, jnp.float32) for m in maps])
         else:
             maps = jnp.asarray(maps, jnp.float32)
         if isinstance(faces_uvs, (list, tuple)):
+            num_f = tuple(int(jnp.asarray(f).shape[0]) for f in faces_uvs)
             faces_uvs = list_to_padded(
                 [jnp.asarray(f, jnp.int32) for f in faces_uvs], pad_value=0
             )
         else:
             faces_uvs = jnp.asarray(faces_uvs, jnp.int32)
         if isinstance(verts_uvs, (list, tuple)):
+            num_v = tuple(int(jnp.asarray(v).shape[0]) for v in verts_uvs)
             verts_uvs = list_to_padded(
                 [jnp.asarray(v, jnp.float32) for v in verts_uvs]
             )
         else:
             verts_uvs = jnp.asarray(verts_uvs, jnp.float32)
         return cls(
-            maps_padded=maps,
-            faces_uvs_padded=faces_uvs,
-            verts_uvs_padded=verts_uvs,
+            _maps_padded=maps,
+            _faces_uvs_padded=faces_uvs,
+            _verts_uvs_padded=verts_uvs,
             padding_mode=padding_mode,
             align_corners=align_corners,
             sampling_mode=sampling_mode,
+            _num_faces=num_f,
+            _num_verts_uvs=num_v,
+        )
+
+    # -- accessors (reference textures.py:1230-1310) ----------------------- #
+    def maps_padded(self) -> jnp.ndarray:
+        return self._maps_padded
+
+    def maps_list(self) -> List[jnp.ndarray]:
+        return [
+            self._maps_padded[i] for i in range(self._maps_padded.shape[0])
+        ]
+
+    def faces_uvs_padded(self) -> jnp.ndarray:
+        return self._faces_uvs_padded
+
+    def faces_uvs_list(self) -> List[jnp.ndarray]:
+        x = self._faces_uvs_padded
+        counts = self._num_faces or (x.shape[1],) * x.shape[0]
+        return [x[i, :n] for i, n in enumerate(counts)]
+
+    def verts_uvs_padded(self) -> jnp.ndarray:
+        return self._verts_uvs_padded
+
+    def verts_uvs_list(self) -> List[jnp.ndarray]:
+        x = self._verts_uvs_padded
+        counts = self._num_verts_uvs or (x.shape[1],) * x.shape[0]
+        return [x[i, :n] for i, n in enumerate(counts)]
+
+    def maps_ids_padded(self):
+        """Multiple-maps-per-mesh ids (reference :1260). This
+        implementation uses one map per mesh, so None (the reference
+        default for single-map textures)."""
+        return None
+
+    def maps_ids_list(self):
+        return None
+
+    def faces_verts_textures_packed(self) -> jnp.ndarray:
+        """(sum(F_i), 3, C) texture sampled at each face vertex's UV
+        (reference :1317)."""
+        fuv = self.faces_verts_uvs_packed()  # (N*F, 3, 2)
+        N = self._maps_padded.shape[0]
+        F3 = fuv.shape[0] // N
+        gx = fuv[..., 0] * 2.0 - 1.0
+        gy = 1.0 - 2.0 * fuv[..., 1]
+        grid = jnp.stack([gx, gy], axis=-1).reshape(N, F3 * 3, 1, 2)
+        maps = jnp.moveaxis(self._maps_padded, -1, 1)
+        texels = grid_sample(
+            maps,
+            grid,
+            mode=self.sampling_mode,
+            padding_mode=self.padding_mode,
+            align_corners=self.align_corners,
+        )  # (N, C, F3*3, 1)
+        C = texels.shape[1]
+        out = jnp.moveaxis(texels[..., 0], 1, -1)  # (N, F3*3, C)
+        return out.reshape(N * F3, 3, C)
+
+    def centers_for_image(self, index: int) -> jnp.ndarray:
+        """(V, 2) texture-image pixel coordinates of verts_uvs for one
+        mesh, for visualization (reference :1609)."""
+        if self._maps_padded.shape[0] != 1:
+            raise ValueError(
+                "This function only supports plotting textures for one mesh."
+            )
+        texture_image = self._maps_padded
+        verts_uvs = self.verts_uvs_list()[index]
+        _, H, W, _ = texture_image.shape
+        u = verts_uvs[:, 0] * (W - 1)
+        v = (1.0 - verts_uvs[:, 1]) * (H - 1)
+        return jnp.stack([u, v], axis=1)
+
+    def extend(self, N: int) -> "TexturesUV":
+        if not isinstance(N, int) or N <= 0:
+            raise ValueError("N must be > 0.")
+        idx = jnp.repeat(jnp.arange(self._maps_padded.shape[0]), N)
+
+        def rep(c):
+            return tuple(n for n in c for _ in range(N)) if c else None
+
+        return self.replace(
+            _maps_padded=self._maps_padded[idx],
+            _faces_uvs_padded=self._faces_uvs_padded[idx],
+            _verts_uvs_padded=self._verts_uvs_padded[idx],
+            _num_faces=rep(self._num_faces),
+            _num_verts_uvs=rep(self._num_verts_uvs),
+        )
+
+    def clone(self) -> "TexturesUV":
+        return self
+
+    def detach(self) -> "TexturesUV":
+        return jax.lax.stop_gradient(self)
+
+    def check_shapes(self) -> bool:
+        ok = (
+            self._maps_padded.ndim == 4
+            and self._faces_uvs_padded.ndim == 3
+            and self._faces_uvs_padded.shape[-1] == 3
+            and self._verts_uvs_padded.ndim == 3
+            and self._verts_uvs_padded.shape[-1] == 2
+            and self._maps_padded.shape[0]
+            == self._faces_uvs_padded.shape[0]
+            == self._verts_uvs_padded.shape[0]
+        )
+        if not ok:
+            raise ValueError("TexturesUV shapes are inconsistent.")
+        return True
+
+    def submeshes(self, vertex_ids_list, faces_ids_list) -> "TexturesUV":
+        """Sub-texture selection matching Meshes.submeshes (reference
+        :1661): keeps each submesh's faces' UV rows, reindexing
+        verts_uvs to the used subset. Host-side."""
+        import numpy as np
+
+        fl = self.faces_uvs_list()
+        vl = self.verts_uvs_list()
+        ml = self.maps_list()
+        maps, faces_out, verts_out = [], [], []
+        for mesh_i, per_mesh_fids in enumerate(faces_ids_list):
+            for fids in per_mesh_fids:
+                f = np.asarray(fl[mesh_i])[np.asarray(fids)]
+                used, inv = np.unique(f.reshape(-1), return_inverse=True)
+                faces_out.append(jnp.asarray(inv.reshape(f.shape), jnp.int32))
+                verts_out.append(jnp.asarray(np.asarray(vl[mesh_i])[used]))
+                maps.append(ml[mesh_i])
+        return TexturesUV.create(
+            maps=maps,
+            faces_uvs=faces_out,
+            verts_uvs=verts_out,
+            padding_mode=self.padding_mode,
+            align_corners=self.align_corners,
+            sampling_mode=self.sampling_mode,
         )
 
     def faces_verts_uvs_packed(self) -> jnp.ndarray:
         """(N*F, 3, 2) uv coordinates of each face's three vertices."""
         take = jax.vmap(lambda uvs, f: uvs[f])
-        fuv = take(self.verts_uvs_padded, self.faces_uvs_padded)  # (N, F, 3, 2)
+        fuv = take(self._verts_uvs_padded, self._faces_uvs_padded)  # (N, F, 3, 2)
         N, F = fuv.shape[:2]
         return fuv.reshape(N * F, 3, 2)
 
@@ -145,7 +368,7 @@ class TexturesUV:
         gx = pixel_uvs[..., 0] * 2.0 - 1.0
         gy = 1.0 - 2.0 * pixel_uvs[..., 1]
         grid = jnp.stack([gx, gy], axis=-1).reshape(N, H_out, W_out * K, 2)
-        maps = jnp.moveaxis(self.maps_padded, -1, 1)  # (N, C, Hm, Wm)
+        maps = jnp.moveaxis(self._maps_padded, -1, 1)  # (N, C, Hm, Wm)
         texels = grid_sample(
             maps,
             grid,
@@ -163,9 +386,11 @@ class TexturesUV:
         if isinstance(index, (list, tuple)):
             index = jnp.asarray(index)
         return self.replace(
-            maps_padded=self.maps_padded[index],
-            faces_uvs_padded=self.faces_uvs_padded[index],
-            verts_uvs_padded=self.verts_uvs_padded[index],
+            _maps_padded=self._maps_padded[index],
+            _faces_uvs_padded=self._faces_uvs_padded[index],
+            _verts_uvs_padded=self._verts_uvs_padded[index],
+            _num_faces=_subset_counts(self._num_faces, index),
+            _num_verts_uvs=_subset_counts(self._num_verts_uvs, index),
         )
 
     def join_scene(self, face_order=None) -> "TexturesUV":
@@ -178,9 +403,9 @@ class TexturesUV:
         """
         import jax.numpy as jnp
 
-        N, Hm, Wm, C = self.maps_padded.shape
+        N, Hm, Wm, C = self._maps_padded.shape
         packed = jnp.concatenate(
-            [self.maps_padded[i] for i in range(N)], axis=1
+            [self._maps_padded[i] for i in range(N)], axis=1
         )[None]  # (1, Hm, N*Wm, C)
         # Clamp u half a texel inside each submap before packing so the
         # bilinear support never straddles into the adjacent mesh's map
@@ -188,19 +413,19 @@ class TexturesUV:
         half_texel = 0.5 / max(Wm - 1, 1)
         new_uvs = []
         for i in range(N):
-            uv = self.verts_uvs_padded[i]
+            uv = self._verts_uvs_padded[i]
             u = (jnp.clip(uv[:, 0], half_texel, 1.0 - half_texel) + i) / N
             new_uvs.append(jnp.stack([u, uv[:, 1]], axis=1))
         verts_uvs = jnp.concatenate(new_uvs, axis=0)[None]
-        Vuv = self.verts_uvs_padded.shape[1]
+        Vuv = self._verts_uvs_padded.shape[1]
         offsets = (jnp.arange(N, dtype=jnp.int32) * Vuv)[:, None, None]
-        faces_uvs = (self.faces_uvs_padded + offsets).reshape(1, -1, 3)
+        faces_uvs = (self._faces_uvs_padded + offsets).reshape(1, -1, 3)
         if face_order is not None:
             faces_uvs = faces_uvs[:, face_order]
         return TexturesUV(
-            maps_padded=packed,
-            faces_uvs_padded=faces_uvs,
-            verts_uvs_padded=verts_uvs,
+            _maps_padded=packed,
+            _faces_uvs_padded=faces_uvs,
+            _verts_uvs_padded=verts_uvs,
             padding_mode=self.padding_mode,
             align_corners=self.align_corners,
             sampling_mode=self.sampling_mode,
@@ -209,10 +434,10 @@ class TexturesUV:
     @classmethod
     def join_batch(cls, textures: List["TexturesUV"]) -> "TexturesUV":
         first = textures[0]
-        Hm = max(t.maps_padded.shape[1] for t in textures)
-        Wm = max(t.maps_padded.shape[2] for t in textures)
-        F = max(t.faces_uvs_padded.shape[1] for t in textures)
-        V = max(t.verts_uvs_padded.shape[1] for t in textures)
+        Hm = max(t._maps_padded.shape[1] for t in textures)
+        Wm = max(t._maps_padded.shape[2] for t in textures)
+        F = max(t._faces_uvs_padded.shape[1] for t in textures)
+        V = max(t._verts_uvs_padded.shape[1] for t in textures)
 
         def pad_map(x):
             return jnp.pad(
@@ -223,12 +448,12 @@ class TexturesUV:
             return jnp.pad(x, ((0, 0), (0, D - x.shape[1])) + ((0, 0),) * (x.ndim - 2))
 
         return cls(
-            maps_padded=jnp.concatenate([pad_map(t.maps_padded) for t in textures]),
-            faces_uvs_padded=jnp.concatenate(
-                [pad1(t.faces_uvs_padded, F) for t in textures]
+            _maps_padded=jnp.concatenate([pad_map(t._maps_padded) for t in textures]),
+            _faces_uvs_padded=jnp.concatenate(
+                [pad1(t._faces_uvs_padded, F) for t in textures]
             ),
-            verts_uvs_padded=jnp.concatenate(
-                [pad1(t.verts_uvs_padded, V) for t in textures]
+            _verts_uvs_padded=jnp.concatenate(
+                [pad1(t._verts_uvs_padded, V) for t in textures]
             ),
             padding_mode=first.padding_mode,
             align_corners=first.align_corners,
@@ -240,21 +465,79 @@ class TexturesUV:
 class TexturesAtlas:
     """Per-face RxR texture atlas."""
 
-    atlas_padded: jnp.ndarray  # (N, F, R, R, C)
+    _atlas_padded: jnp.ndarray  # (N, F, R, R, C)
+    _num_faces: Optional[Tuple[int, ...]] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @classmethod
     def create(cls, atlas) -> "TexturesAtlas":
+        num = None
         if isinstance(atlas, (list, tuple)):
+            num = tuple(int(jnp.asarray(a).shape[0]) for a in atlas)
             atlas = list_to_padded([jnp.asarray(a, jnp.float32) for a in atlas])
         else:
             atlas = jnp.asarray(atlas, jnp.float32)
         if atlas.ndim != 5:
             raise ValueError("atlas must be (N, F, R, R, C)")
-        return cls(atlas_padded=atlas)
+        return cls(_atlas_padded=atlas, _num_faces=num)
+
+    def atlas_padded(self) -> jnp.ndarray:
+        """(N, F, R, R, C) padded atlas (reference :532)."""
+        return self._atlas_padded
+
+    def atlas_list(self) -> List[jnp.ndarray]:
+        """Per-mesh (F_i, R, R, C) atlases (reference :524); host-side."""
+        x = self._atlas_padded
+        counts = self._num_faces or (x.shape[1],) * x.shape[0]
+        return [x[i, :n] for i, n in enumerate(counts)]
+
+    def faces_verts_textures_packed(self) -> jnp.ndarray:
+        """(sum(F_i), 3, C) per-face-vertex texture: the atlas texels at
+        barycentric corners (1,0), (0,1), (0,0) (reference :646)."""
+        atlas_packed = self.atlas_packed()
+        t0 = atlas_packed[:, 0, -1]
+        t1 = atlas_packed[:, -1, 0]
+        t2 = atlas_packed[:, 0, 0]
+        return jnp.stack([t0, t1, t2], axis=1)
+
+    def extend(self, N: int) -> "TexturesAtlas":
+        if not isinstance(N, int) or N <= 0:
+            raise ValueError("N must be > 0.")
+        idx = jnp.repeat(jnp.arange(self._atlas_padded.shape[0]), N)
+        num = (
+            tuple(n for n in self._num_faces for _ in range(N))
+            if self._num_faces
+            else None
+        )
+        return self.replace(
+            _atlas_padded=self._atlas_padded[idx], _num_faces=num
+        )
+
+    def clone(self) -> "TexturesAtlas":
+        return self
+
+    def detach(self) -> "TexturesAtlas":
+        return jax.lax.stop_gradient(self)
+
+    def check_shapes(self) -> bool:
+        if self._atlas_padded.ndim != 5:
+            raise ValueError("atlas must be (N, F, R, R, C)")
+        return True
+
+    def submeshes(self, vertex_ids_list, faces_ids_list) -> "TexturesAtlas":
+        """Sub-texture selection matching Meshes.submeshes
+        (reference :621); host-side."""
+        al = self.atlas_list()
+        out = []
+        for mesh_i, per_mesh_fids in enumerate(faces_ids_list):
+            for fids in per_mesh_fids:
+                out.append(al[mesh_i][jnp.asarray(fids)])
+        return TexturesAtlas.create(out)
 
     def atlas_packed(self) -> jnp.ndarray:
-        N, F = self.atlas_padded.shape[:2]
-        return self.atlas_padded.reshape((N * F,) + self.atlas_padded.shape[2:])
+        N, F = self._atlas_padded.shape[:2]
+        return self._atlas_padded.reshape((N * F,) + self._atlas_padded.shape[2:])
 
     def sample_textures(self, fragments, faces_packed=None) -> jnp.ndarray:
         atlas = self.atlas_packed()  # (F, R, R, C)
@@ -279,7 +562,10 @@ class TexturesAtlas:
             index = [index]
         if isinstance(index, (list, tuple)):
             index = jnp.asarray(index)
-        return TexturesAtlas(atlas_padded=self.atlas_padded[index])
+        return TexturesAtlas(
+            _atlas_padded=self._atlas_padded[index],
+            _num_faces=_subset_counts(self._num_faces, index),
+        )
 
     def join_scene(self, face_order=None) -> "TexturesAtlas":
         """Merge the batch into one per-face atlas, following the packed-face
@@ -288,11 +574,11 @@ class TexturesAtlas:
         atlas = self.atlas_packed()  # (N*F, R, R, C)
         if face_order is not None:
             atlas = atlas[face_order]
-        return TexturesAtlas(atlas_padded=atlas[None])
+        return TexturesAtlas(_atlas_padded=atlas[None])
 
     @classmethod
     def join_batch(cls, textures: List["TexturesAtlas"]) -> "TexturesAtlas":
-        F = max(t.atlas_padded.shape[1] for t in textures)
+        F = max(t._atlas_padded.shape[1] for t in textures)
 
         def pad(x):
             return jnp.pad(
@@ -300,7 +586,7 @@ class TexturesAtlas:
             )
 
         return cls(
-            atlas_padded=jnp.concatenate([pad(t.atlas_padded) for t in textures])
+            _atlas_padded=jnp.concatenate([pad(t._atlas_padded) for t in textures])
         )
 
 

@@ -22,8 +22,8 @@ def texturesuv_image_matplotlib(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    maps = texture.maps_padded
-    uvs = texture.verts_uvs_padded
+    maps = texture.maps_padded()
+    uvs = texture.verts_uvs_padded()
     # our TexturesUV stores these as pytree fields; the reference exposes
     # methods — accept both
     maps = maps() if callable(maps) else maps

@@ -267,7 +267,7 @@ class TestOffColors:
             )
             fh.write("3 0 1 2\n")
         mesh = IO().load_mesh(p)
-        feats = mesh.textures.verts_features_padded
+        feats = mesh.textures.verts_features_padded()
         np.testing.assert_allclose(
             np.asarray(feats[0]), np.eye(3, dtype=np.float32), atol=1e-6
         )

@@ -246,7 +246,7 @@ class TestCubifyFeats:
         feats = feats.at[0, :, 1, 1, 1].set(jnp.asarray([0.0, 1.0, 0.0]))
         m = cubify(vox, 0.5, feats=feats, align="center")
         assert isinstance(m.textures, TexturesAtlas)
-        atlas = m.textures.atlas_padded  # (1, FCAP, 1, 1, 3)
+        atlas = m.textures.atlas_padded()  # (1, FCAP, 1, 1, 3)
         nf = int(m.num_faces_per_mesh()[0])
         assert nf == 24  # two isolated cubes, 12 tris each
         cols = np.asarray(atlas[0, :nf, 0, 0])

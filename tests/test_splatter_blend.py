@@ -65,7 +65,7 @@ def _render_setup(image_size=64, level=1):
     cols = jnp.broadcast_to(
         jnp.asarray([0.8, 0.3, 0.2]), verts.shape
     )
-    mesh = mesh.replace(textures=TexturesVertex(verts_features_padded=cols))
+    mesh = mesh.replace(textures=TexturesVertex.create(cols))
     R, T = look_at_view_transform(dist=2.7, elev=10.0, azim=30.0)
     cams = FoVPerspectiveCameras.create(R=R, T=T)
     lights = PointLights.create(location=jnp.asarray([[0.0, 2.0, -2.0]]))
