@@ -44,6 +44,29 @@ _CUBE_TRIS = (
 )
 
 
+def unravel_index(idx: jnp.ndarray, dims) -> jnp.ndarray:
+    """np.unravel_index for dims=(N, H, W, D) (reference cubify.py:18)."""
+    if len(dims) != 4:
+        raise ValueError("Expects a 4-element list.")
+    N, H, W, D = dims
+    n = idx // (H * W * D)
+    h = (idx - n * H * W * D) // (W * D)
+    w = (idx - n * H * W * D - h * W * D) // D
+    d = idx - n * H * W * D - h * W * D - w * D
+    return jnp.stack((n, h, w, d), axis=1)
+
+
+def ravel_index(idx: jnp.ndarray, dims) -> jnp.ndarray:
+    """Linear index into an array of shape dims=(H, W, D); inverse of
+    unravel_index (reference cubify.py:37)."""
+    if len(dims) != 3:
+        raise ValueError("Expects a 3-element list")
+    if idx.shape[1] != 3:
+        raise ValueError("Expects an index tensor of shape Nx3")
+    H, W, D = dims
+    return idx[:, 0] * W * D + idx[:, 1] * D + idx[:, 2]
+
+
 def _cubify_one(vox: jnp.ndarray, thresh: float, align: str):
     """vox (D, H, W) -> (verts (VCAP, 3), faces (FCAP, 3), n_verts, n_faces)."""
     D, H, W = vox.shape

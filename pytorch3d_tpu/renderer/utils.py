@@ -99,6 +99,24 @@ class TensorProperties:
         return self
 
 
+def parse_image_size(image_size) -> "tuple":
+    """Normalize an image-size argument to (H, W) (reference
+    renderer/utils.py:441)."""
+    if not isinstance(image_size, (tuple, list)):
+        return (image_size, image_size)
+    if len(image_size) != 2:
+        raise ValueError("Image size can only be a tuple/list of (H, W)")
+    if not all(i > 0 for i in image_size):
+        raise ValueError(
+            "Image sizes must be greater than 0; got %d, %d" % tuple(image_size)
+        )
+    if not all(isinstance(i, int) for i in image_size):
+        raise ValueError(
+            "Image sizes must be integers; got %f, %f" % tuple(image_size)
+        )
+    return tuple(image_size)
+
+
 def ndc_to_grid_sample_coords(
     xy_ndc: jnp.ndarray, image_size_hw: Tuple[int, int]
 ) -> jnp.ndarray:

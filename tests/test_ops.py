@@ -374,3 +374,45 @@ class TestPaddingIndependence:
         l0 = float(mesh_laplacian_smoothing(m0))
         l1 = float(mesh_laplacian_smoothing(m1))
         np.testing.assert_allclose(lb, (l0 + l1) / 2.0, rtol=1e-5)
+
+
+class TestIndexHelpers:
+    """ravel_index/unravel_index (reference cubify.py:18,:37) and
+    parse_image_size (reference renderer/utils.py:441)."""
+
+    def test_ravel_unravel_roundtrip(self):
+        from pytorch3d_tpu.ops.cubify import ravel_index, unravel_index
+
+        rng = np.random.RandomState(0)
+        dims4 = (2, 3, 4, 5)
+        lin = jnp.asarray(rng.randint(0, np.prod(dims4), 20))
+        coords = unravel_index(lin, dims4)
+        assert coords.shape == (20, 4)
+        # rebuild linear index manually
+        n, h, w, d = [coords[:, i] for i in range(4)]
+        rebuilt = ((n * dims4[1] + h) * dims4[2] + w) * dims4[3] + d
+        np.testing.assert_array_equal(np.asarray(rebuilt), np.asarray(lin))
+
+        idx3 = jnp.asarray(rng.randint(0, 3, (10, 3)))
+        lin3 = ravel_index(idx3, (3, 4, 5))
+        np.testing.assert_array_equal(
+            np.asarray(lin3),
+            np.asarray(idx3[:, 0] * 20 + idx3[:, 1] * 5 + idx3[:, 2]),
+        )
+        with pytest.raises(ValueError):
+            ravel_index(idx3, (3, 4))
+        with pytest.raises(ValueError):
+            unravel_index(lin, (3, 4, 5))
+
+    def test_parse_image_size(self):
+        from pytorch3d_tpu.renderer.utils import parse_image_size
+
+        assert parse_image_size(64) == (64, 64)
+        assert parse_image_size((32, 48)) == (32, 48)
+        assert parse_image_size([32, 48]) == (32, 48)
+        with pytest.raises(ValueError):
+            parse_image_size((1, 2, 3))
+        with pytest.raises(ValueError):
+            parse_image_size((0, 2))
+        with pytest.raises(ValueError):
+            parse_image_size((1.5, 2.0))
