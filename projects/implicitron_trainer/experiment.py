@@ -302,7 +302,41 @@ class Experiment(Configurable):
     def __post_init__(self):
         run_auto_creation(self)
 
+    def _dump_config(self):
+        """Write the experiment config into exp_dir (reference
+        experiment.py:269 dumps expconfig.yaml) so tools like
+        visualize_reconstruction can rebuild the model/dataset."""
+        if not self.exp_dir:
+            return
+        import yaml
+
+        os.makedirs(self.exp_dir, exist_ok=True)
+        cfg = {}
+        for k in (
+            "exp_dir",
+            "resume",
+            "model_args",
+            "dataset_args",
+            "data_source_args",
+            "optimizer_factory_args",
+            "training_loop_args",
+        ):
+            v = getattr(self, k, None)
+            if v is not None:
+                cfg[k] = v
+
+        def plain(x):
+            if isinstance(x, dict):
+                return {kk: plain(vv) for kk, vv in x.items()}
+            if isinstance(x, (list, tuple)):
+                return [plain(vv) for vv in x]
+            return x
+
+        with open(os.path.join(self.exp_dir, "expconfig.yaml"), "w") as f:
+            yaml.safe_dump(plain(cfg), f, sort_keys=False)
+
     def run(self):
+        self._dump_config()
         if self.data_source_args:
             print("[setup] building data source...", flush=True)
             from pytorch3d_tpu.implicitron.dataset.data_source import (

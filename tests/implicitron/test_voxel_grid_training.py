@@ -87,3 +87,53 @@ class TestVoxelGridTraining:
         # cropping ran: extents buffers exist and are finite
         ext = np.asarray(buffers["voxel_grid_density"]["extents"])
         assert np.isfinite(ext).all() and (ext > 0).all()
+
+
+class TestVisualizeReconstruction:
+    """visualize_reconstruction loads the dumped expconfig + checkpoint
+    and writes a fly-around video (reference
+    projects/implicitron_trainer/visualize_reconstruction.py:31)."""
+
+    def test_end_to_end(self, tmp_path):
+        from projects.implicitron_trainer.experiment import Experiment
+        from projects.implicitron_trainer.visualize_reconstruction import (
+            visualize_reconstruction,
+        )
+
+        get_default_args(Experiment)
+        exp = Experiment(
+            exp_dir=str(tmp_path),
+            resume=False,
+            model_args=dict(
+                render_image_width=8,
+                render_image_height=8,
+                num_passes=1,
+                chunk_size_grid=256,
+                raysampler_args=dict(
+                    n_pts_per_ray_training=4,
+                    n_pts_per_ray_evaluation=4,
+                    n_rays_per_image_sampled_from_mask=8,
+                    scene_extent=3.0,
+                ),
+                implicit_function_args=dict(
+                    n_hidden_neurons_xyz=8,
+                    n_hidden_neurons_dir=8,
+                    n_layers_xyz=2,
+                    append_xyz=(1,),
+                ),
+            ),
+            dataset_args=dict(num_views=3, resolution=8),
+            training_loop_args=dict(max_epochs=1, store_checkpoints=True),
+        )
+        exp.run()
+        assert os.path.isfile(os.path.join(str(tmp_path), "expconfig.yaml"))
+        paths = visualize_reconstruction(
+            exp_dir=str(tmp_path),
+            render_size=(8, 8),
+            n_eval_cameras=3,
+            split="train",
+            fps=2,
+        )
+        assert len(paths) >= 1
+        for p in paths:
+            assert os.path.isfile(p) and os.path.getsize(p) > 0
