@@ -348,18 +348,33 @@ def save_obj(
     verts,
     faces,
     decimal_places: Optional[int] = None,
+    *,
+    normals: Optional[jnp.ndarray] = None,
+    faces_normals_idx: Optional[jnp.ndarray] = None,
     verts_uvs: Optional[jnp.ndarray] = None,
     faces_uvs: Optional[jnp.ndarray] = None,
     texture_map: Optional[jnp.ndarray] = None,
 ) -> None:
-    """Save verts/faces (+ optional uv texture) to .obj (reference :688)."""
+    """Save verts/faces (+ optional vn normals and uv texture) to .obj
+    (reference :688). `f` may be a path or an open text stream (texture
+    maps require a path)."""
     verts = np.asarray(verts)
     faces = np.asarray(faces)
     save_texture = all(
         x is not None for x in (verts_uvs, faces_uvs, texture_map)
     )
+    if (normals is None) != (faces_normals_idx is None):
+        raise ValueError(
+            "normals and faces_normals_idx must be given together"
+        )
+    save_normals = normals is not None
     prec = decimal_places if decimal_places is not None else 6
-    name = str(f)
+    is_stream = hasattr(f, "write")
+    if is_stream and save_texture:
+        raise ValueError(
+            "Saving a texture map requires a file path, not a stream."
+        )
+    name = None if is_stream else str(f)
     lines = []
     if save_texture:
         mtl_name = os.path.splitext(os.path.basename(name))[0]
@@ -367,18 +382,38 @@ def save_obj(
         lines.append(f"usemtl {mtl_name}")
     for v in verts:
         lines.append("v " + " ".join(f"{x:.{prec}f}" for x in v))
+    if save_normals:
+        for n in np.asarray(normals):
+            lines.append("vn " + " ".join(f"{x:.{prec}f}" for x in n))
     if save_texture:
         for uv in np.asarray(verts_uvs):
             lines.append("vt " + " ".join(f"{x:.{prec}f}" for x in uv))
-        for fv, ft in zip(faces, np.asarray(faces_uvs)):
-            lines.append(
-                "f " + " ".join(f"{a + 1}/{b + 1}" for a, b in zip(fv, ft))
-            )
-    else:
-        for fv in faces:
-            lines.append("f " + " ".join(str(int(x) + 1) for x in fv))
+
+    fn = (
+        np.asarray(faces_normals_idx)
+        if save_normals
+        else [None] * len(faces)
+    )
+    ft = np.asarray(faces_uvs) if save_texture else [None] * len(faces)
+    for fv, t, n in zip(faces, ft, fn):
+        toks = []
+        for j in range(3):
+            tok = str(int(fv[j]) + 1)
+            if save_texture:
+                tok += f"/{int(t[j]) + 1}"
+                if save_normals:
+                    tok += f"/{int(n[j]) + 1}"
+            elif save_normals:
+                tok += f"//{int(n[j]) + 1}"
+            toks.append(tok)
+        lines.append("f " + " ".join(toks))
+
+    text = "\n".join(lines) + "\n"
+    if is_stream:
+        f.write(text)
+        return
     with open(name, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+        fh.write(text)
     if save_texture:
         from PIL import Image
 

@@ -7,6 +7,7 @@ import sys
 import tempfile
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, "tests")
 from reference_compat import import_reference  # noqa: E402
@@ -185,3 +186,70 @@ class TestPlyParity:
                     t2n(rv), np.asarray(verts), rtol=1e-5, atol=atol
                 )
                 np.testing.assert_array_equal(t2n(rf), np.asarray(faces))
+
+
+class TestSaveObjNormals:
+    """save_obj with vn normals + stream output (reference obj_io.py:688
+    normals/faces_normals_idx kwargs); round-trip through the REFERENCE
+    loader proves format compatibility."""
+
+    def test_normals_roundtrip_through_reference(self, tmp_path):
+        import torch
+        from pytorch3d.io import load_obj as ref_load_obj
+
+        from pytorch3d_tpu.io import save_obj
+
+        rng = np.random.RandomState(0)
+        verts = rng.randn(5, 3).astype(np.float32)
+        faces = np.array([[0, 1, 2], [2, 3, 4]], np.int64)
+        normals = rng.randn(4, 3).astype(np.float32)
+        fni = np.array([[0, 1, 2], [1, 2, 3]], np.int64)
+        path = str(tmp_path / "n.obj")
+        save_obj(
+            path,
+            verts,
+            faces,
+            normals=jnp.asarray(normals),
+            faces_normals_idx=jnp.asarray(fni),
+        )
+        rv, rf, raux = ref_load_obj(path, load_textures=False)
+        np.testing.assert_allclose(rv.numpy(), verts, atol=1e-5)
+        np.testing.assert_array_equal(rf.verts_idx.numpy(), faces)
+        np.testing.assert_allclose(raux.normals.numpy(), normals, atol=1e-5)
+        np.testing.assert_array_equal(rf.normals_idx.numpy(), fni)
+
+    def test_normals_roundtrip_through_ours(self, tmp_path):
+        from pytorch3d_tpu.io import load_obj, save_obj
+
+        rng = np.random.RandomState(1)
+        verts = rng.randn(4, 3).astype(np.float32)
+        faces = np.array([[0, 1, 2], [1, 2, 3]], np.int64)
+        normals = rng.randn(3, 3).astype(np.float32)
+        fni = np.array([[0, 0, 1], [1, 2, 2]], np.int64)
+        path = str(tmp_path / "n2.obj")
+        save_obj(path, verts, faces, normals=normals, faces_normals_idx=fni)
+        v, f, aux = load_obj(path, load_textures=False)
+        np.testing.assert_allclose(np.asarray(v), verts, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(aux.normals), normals, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(f.normals_idx), fni)
+
+    def test_stream_output(self, tmp_path):
+        import io as _io
+
+        from pytorch3d_tpu.io import save_obj
+
+        buf = _io.StringIO()
+        save_obj(buf, np.eye(3, dtype=np.float32), np.array([[0, 1, 2]]))
+        text = buf.getvalue()
+        assert text.startswith("v ") and "\nf 1 2 3\n" in text
+
+    def test_normals_mismatch_raises(self, tmp_path):
+        from pytorch3d_tpu.io import save_obj
+
+        with pytest.raises(ValueError):
+            save_obj(
+                str(tmp_path / "x.obj"),
+                np.eye(3, dtype=np.float32),
+                np.array([[0, 1, 2]]),
+                normals=np.eye(3, dtype=np.float32),
+            )
