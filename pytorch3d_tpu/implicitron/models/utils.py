@@ -73,3 +73,73 @@ def cat_dataclass(batch, tensor_collator):
         else:
             out[f.name] = vals[0]
     return type(first)(**out)
+
+
+def preprocess_input(
+    image_rgb,
+    fg_probability,
+    depth_map,
+    mask_images: bool,
+    mask_depths: bool,
+    mask_threshold: float,
+    bg_color,
+):
+    """Optionally threshold the fg mask and mask the rgb/depth inputs
+    (reference models/utils.py:25). Channel-last (B, H, W, C) layout."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from ..tools.image_utils import mask_background
+
+    if image_rgb is not None and image_rgb.ndim == 3:
+        raise ValueError(
+            "Model received unbatched inputs. Perhaps they came from a "
+            "FrameData which had not been collated."
+        )
+
+    fg_mask = fg_probability
+    if fg_mask is not None and mask_threshold > 0.0:
+        warnings.warn("Thresholding masks!")
+        fg_mask = (fg_mask >= mask_threshold).astype(fg_mask.dtype)
+
+    if mask_images and fg_mask is not None and image_rgb is not None:
+        warnings.warn("Masking images!")
+        image_rgb = mask_background(
+            image_rgb, fg_mask, bg_color=jnp.asarray(bg_color)
+        )
+
+    if mask_depths and fg_mask is not None and depth_map is not None:
+        assert mask_threshold > 0.0, (
+            "Depths should be masked only with thresholded masks"
+        )
+        warnings.warn("Masking depths!")
+        depth_map = depth_map * fg_mask
+
+    return image_rgb, fg_mask, depth_map
+
+
+def log_loss_weights(loss_weights, logger) -> None:
+    """Print a table of the loss weights (reference models/utils.py:92)."""
+    loss_weights_message = (
+        "-------\nloss_weights:\n"
+        + "\n".join(f"{k:40s}: {w:1.2e}" for k, w in loss_weights.items())
+        + "-------"
+    )
+    logger.info(loss_weights_message)
+
+
+def weighted_sum_losses(preds, loss_weights):
+    """Dot product of individual losses with their weights (reference
+    models/utils.py:104); None if no weighted loss is present."""
+    import warnings
+
+    losses_weighted = [
+        preds[k] * float(w)
+        for k, w in loss_weights.items()
+        if (k in preds and w != 0.0)
+    ]
+    if len(losses_weighted) == 0:
+        warnings.warn("No main objective found.")
+        return None
+    return sum(losses_weighted)

@@ -74,3 +74,23 @@ def fit_circle_in_3d(
         center=center3d, radius=c2d.radius, normal=normal,
         generated_points=generated,
     )
+
+
+def get_rotation_to_best_fit_xy(
+    points: jnp.ndarray, centroid: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Rotation R such that `points @ R` has its best-fit plane parallel
+    to xy (reference circle_fitting.py:17): the two largest principal
+    directions become x/y and their cross product z (right-handed)."""
+    if centroid is None:
+        centroid = points.mean(axis=-2, keepdims=True)
+    centered = points - centroid
+    cov = jnp.swapaxes(centered, -1, -2) @ centered
+    _, evec = jnp.linalg.eigh(cov)  # ascending eigenvalues
+    return jnp.concatenate(
+        [
+            evec[..., 1:],
+            jnp.cross(evec[..., 1], evec[..., 2])[..., None],
+        ],
+        axis=-1,
+    )

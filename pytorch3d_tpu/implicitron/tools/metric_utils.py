@@ -10,8 +10,10 @@ the reference.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -119,3 +121,62 @@ def eval_depth(
     mse_depth = jnp.sum(dmask * df**2, axis=dims) / dmask_mass
     abs_depth = jnp.sum(dmask * jnp.abs(df), axis=dims) / dmask_mass
     return mse_depth, abs_depth
+
+
+def log_lerp(x: jnp.ndarray, b: float) -> jnp.ndarray:
+    """Linearly extrapolated log for x < b (reference metric_utils.py:190)."""
+    assert b > 0
+    return jnp.where(x >= b, jnp.log(jnp.maximum(x, b)), math.log(b) + (x - b) / b)
+
+
+def binary_cross_entropy_lerp(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    weight: jnp.ndarray,
+    lerp_bound: float,
+) -> jnp.ndarray:
+    """BCE with linearly-extrapolated log to avoid exploding gradients
+    where pred or 1-pred < lerp_bound (reference :174)."""
+    loss = log_lerp(1 - pred, lerp_bound) * (1 - gt) + log_lerp(
+        pred, lerp_bound
+    ) * gt
+    return -(loss * weight).sum() / jnp.clip(weight.sum(), 1e-4)
+
+
+def calc_bce(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    equal_w: bool = True,
+    pred_eps: float = 0.01,
+    mask: Optional[jnp.ndarray] = None,
+    lerp_bound: Optional[float] = None,
+    pred_logits: bool = False,
+) -> jnp.ndarray:
+    """Binary cross entropy with optional fg/bg balancing, prediction
+    clamping, logits input, and log-lerp stabilization (reference :125)."""
+    if pred_eps > 0.0:
+        pred = jnp.clip(pred, pred_eps, 1.0 - pred_eps)
+    if mask is None:
+        mask = jnp.ones_like(gt)
+    if equal_w:
+        mask_fg = (gt > 0.5).astype(gt.dtype) * mask
+        mask_bg = (1 - mask_fg) * mask
+        weight = mask_fg / jnp.clip(mask_fg.sum(), 1.0) + mask_bg / jnp.clip(
+            mask_bg.sum(), 1.0
+        )
+        weight = weight * (weight.size / jnp.clip(weight.sum(), 1.0))
+    else:
+        weight = jnp.ones_like(gt) * mask
+
+    if lerp_bound is not None:
+        if pred_logits:
+            pred = jax.nn.sigmoid(pred)
+        return binary_cross_entropy_lerp(pred, gt, weight, lerp_bound)
+    if pred_logits:
+        loss = (
+            jnp.clip(pred, 0) - pred * gt + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+        ) * weight
+    else:
+        p = jnp.clip(pred, 1e-12, 1 - 1e-12)
+        loss = -(gt * jnp.log(p) + (1 - gt) * jnp.log1p(-p)) * weight
+    return loss.mean()

@@ -107,3 +107,59 @@ def purge_epoch(exp_dir: str, epoch: int) -> None:
         f = path + suffix
         if os.path.isfile(f):
             os.remove(f)
+
+
+def get_model_path(fl) -> str:
+    """model file path for a checkpoint stem (reference model_io.py:31;
+    orbax checkpoints are directories, so the stem itself)."""
+    return os.path.splitext(str(fl))[0]
+
+
+def get_optimizer_path(fl) -> str:
+    """optimizer path for a checkpoint stem (reference :37)."""
+    return "%s_opt" % os.path.splitext(str(fl))[0]
+
+
+def get_stats_path(fl, eval_results: bool = False) -> str:
+    """stats (jgz) path for a checkpoint stem (reference :43)."""
+    fl = os.path.splitext(str(fl))[0]
+    if eval_results:
+        for postfix in ("_2", ""):
+            flstats = os.path.join(
+                os.path.dirname(fl), f"stats_test{postfix}.jgz"
+            )
+            if os.path.isfile(flstats):
+                return flstats
+        return flstats
+    return "%s_stats.jgz" % fl
+
+
+def save_stats(stats, fl, cfg=None) -> str:
+    """Save a Stats object next to a checkpoint stem (reference :103)."""
+    flstats = get_stats_path(fl)
+    stats.save(flstats)
+    return flstats
+
+
+def load_stats(flstats):
+    """Load a Stats object, or None if absent (reference :22)."""
+    from .stats import Stats
+
+    if not os.path.isfile(flstats):
+        return None
+    return Stats.load(flstats)
+
+
+def save_model(params, stats, fl, opt_state=None, cfg=None):
+    """Save params (+ optional optimizer state) and stats under a
+    checkpoint stem (reference :87). Returns (flstats, flmodel)."""
+    flstats = get_stats_path(fl)
+    flmodel = get_model_path(fl)
+    ckpt = _checkpointer()
+    payload = {"params": params}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    ckpt.save(os.path.abspath(flmodel), payload, force=True)
+    if stats is not None:
+        stats.save(flstats)
+    return flstats, flmodel

@@ -204,13 +204,39 @@ class Stats:
                 self.stats[ss][k] = m
 
     def save(self, path: str) -> None:
-        with open(path, "w") as f:
-            json.dump(self.state_dict(), f)
+        """JSON dump; gzipped when the path ends with .jgz (the
+        reference's stats archive format, stats.py:506 region)."""
+        if str(path).endswith(".jgz"):
+            import gzip
+
+            with gzip.open(path, "wt") as f:
+                json.dump(self.state_dict(), f)
+        else:
+            with open(path, "w") as f:
+                json.dump(self.state_dict(), f)
 
     @classmethod
     def load(cls, path: str) -> "Stats":
-        with open(path) as f:
-            state = json.load(f)
+        if str(path).endswith(".jgz"):
+            import gzip
+
+            with gzip.open(path, "rt") as f:
+                state = json.load(f)
+        else:
+            with open(path) as f:
+                state = json.load(f)
         stats = cls(log_vars=state["log_vars"])
         stats.load_state_dict(state)
         return stats
+
+
+class StatsJSONEncoder(json.JSONEncoder):
+    """JSON encoder understanding Stats/AverageMeter (reference
+    stats.py:495)."""
+
+    def default(self, o):
+        if isinstance(o, (AverageMeter, Stats)):
+            return self.encode(o.__dict__)
+        raise TypeError(
+            f"Object of type {o.__class__.__name__} is not JSON serializable"
+        )

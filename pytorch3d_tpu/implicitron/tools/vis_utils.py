@@ -58,3 +58,42 @@ def visualize_basics(viz, preds: Dict[str, Any], visdom_env_imgs: str,
         ax.set_title(f"{title}_{k}")
         fig.savefig(f"/tmp/visualize_{k}.png")
         plt.close(fig)
+
+
+def make_depth_image(
+    depths,
+    masks,
+    max_quantile: float = 0.98,
+    min_quantile: float = 0.02,
+    min_out_depth: float = 0.1,
+    max_out_depth: float = 0.9,
+):
+    """Convert (B, 1, H, W) depths + masks to grayscale images in
+    [0, 1] using per-image quantile normalization (reference
+    vis_utils.py:145)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    depths = jnp.asarray(depths)
+    masks = jnp.asarray(masks)
+    normfacs = []
+    for d, m in zip(np.asarray(depths), np.asarray(masks)):
+        ok = (d.reshape(-1) > 1e-6) & (m.reshape(-1) > 0.5)
+        if ok.sum() <= 1:
+            normfacs.append(np.zeros(2, depths.dtype))
+            continue
+        dok = d.reshape(-1)[ok]
+        _maxk = max(int(round((1 - max_quantile) * dok.size)), 1)
+        _mink = max(int(round(min_quantile * dok.size)), 1)
+        srt = np.sort(dok)
+        normfacs.append(
+            np.stack([srt[_mink - 1], srt[-_maxk]]).astype(depths.dtype)
+        )
+    normfacs = jnp.asarray(np.stack(normfacs))
+    _min = normfacs[:, 0].reshape(-1, 1, 1, 1)
+    _max = normfacs[:, 1].reshape(-1, 1, 1, 1)
+    out = (depths - _min) / jnp.clip(_max - _min, 1e-4)
+    out = (
+        out * (max_out_depth - min_out_depth) + min_out_depth
+    ) * masks.astype(depths.dtype)
+    return jnp.clip(out, 0.0, 1.0)
