@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..tools.config import registry
+from .base_model import ImplicitronModelBase, ImplicitronRender  # noqa: F401
 from .implicit_function.base import ImplicitFunctionBase
 from .implicit_function.neural_radiance_field import (  # noqa: F401 (register)
     NeRFormerImplicitFunction,
@@ -44,7 +45,8 @@ def _default_loss_weights() -> Dict[str, float]:
     return {"loss_rgb_mse": 1.0, "loss_prev_stage_rgb_mse": 1.0}
 
 
-class GenericModel(nn.Module):
+@registry.register
+class GenericModel(nn.Module, ImplicitronModelBase):
     """Pluggable raysampler -> implicit fn(s) -> renderer -> losses."""
 
     render_image_width: int = 400
@@ -189,7 +191,8 @@ class GenericModel(nn.Module):
 
         renderer_kwargs = {}
         if getattr(self._renderer, "flax_module", None) is not None:
-            renderer_kwargs["lstm_module"] = self._renderer_flax_module
+            kw = getattr(self._renderer, "flax_module_kwarg", "lstm_module")
+            renderer_kwargs[kw] = self._renderer_flax_module
         if self.view_pooler_enabled and image_rgb is not None:
             # keep the extractor's input channel count fixed across calls:
             # a missing mask becomes all-ones

@@ -12,9 +12,12 @@ from typing import Any, Dict, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..tools.config import registry
+from .base_model import ImplicitronModelBase
 from .generic_model import GenericModel
 
 
+@registry.register
 class OverfitModel(GenericModel):
     """Single-scene variant of GenericModel (reference overfit_model.py).
 
@@ -28,7 +31,8 @@ class OverfitModel(GenericModel):
     chunk_size_grid: int = 4096
 
 
-class ModelDBIR(nn.Module):
+@registry.register
+class ModelDBIR(nn.Module, ImplicitronModelBase):
     """Depth-based image re-rendering baseline (reference model_dbir.py:153).
 
     Unprojects source RGBD frames into a point cloud and re-renders it into

@@ -43,6 +43,10 @@ class LSTMRenderer(BaseRenderer):
         self._lstm = _LSTMCore(hidden_size=self.hidden_size)
 
     @property
+    def flax_module_kwarg(self) -> str:
+        return "lstm_module"
+
+    @property
     def flax_module(self) -> nn.Module:
         """The renderer's learnable core.  GenericModel adopts this module
         into its own flax scope (setup assigns it to an attribute) and feeds

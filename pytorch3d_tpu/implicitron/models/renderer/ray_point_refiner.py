@@ -16,6 +16,14 @@ from ...tools.config import Configurable
 from .base import ImplicitronRayBundle
 
 
+def apply_blurpool_on_weights(weights: jnp.ndarray) -> jnp.ndarray:
+    """2-tap max filter followed by a 2-tap blur: a wide, smooth upper
+    envelope on the weights (mip-NeRF; reference ray_point_refiner.py:121)."""
+    wp = jnp.concatenate([weights[..., :1], weights, weights[..., -1:]], axis=-1)
+    weights_max = jnp.maximum(wp[..., :-1], wp[..., 1:])
+    return 0.5 * (weights_max[..., :-1] + weights_max[..., 1:])
+
+
 @dataclasses.dataclass
 class RayPointRefiner(Configurable):
     n_pts_per_ray: int = 64
@@ -34,12 +42,7 @@ class RayPointRefiner(Configurable):
         z_vals = input_ray_bundle.lengths
         w = ray_weights
         if blurpool_weights:
-            # max-blur the weights (mip-NeRF style, reference :95)
-            wp = jnp.concatenate([w[..., :1], w, w[..., -1:]], axis=-1)
-            w = 0.5 * (
-                jnp.maximum(wp[..., :-1], wp[..., 1:])[..., :-1]
-                + jnp.maximum(wp[..., :-1], wp[..., 1:])[..., 1:]
-            ) + 0.01
+            w = apply_blurpool_on_weights(w) + 0.01
         z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
         z_new = sample_pdf(
             z_mid,

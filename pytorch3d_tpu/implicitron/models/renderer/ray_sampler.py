@@ -18,6 +18,40 @@ from ...tools.config import ReplaceableBase, registry
 from .base import EvaluationMode, ImplicitronRayBundle, RenderSamplingMode
 
 
+def compute_radii(
+    cameras,
+    xy_grid: jnp.ndarray,  # (B, ..., 2)
+    pixel_hw_ndc: Tuple[float, float],
+) -> jnp.ndarray:
+    """World-space base radii of the conical frustums through each pixel
+    (reference ray_sampler.py:335): unproject each pixel and its +1px x/y
+    neighbors to the z=1 plane and take the footprint-matched radius
+    (dx+dy)/sqrt(12)."""
+    batch_size = xy_grid.shape[0]
+    spatial_size = xy_grid.shape[1:-1]
+    n_rays = 1
+    for s in spatial_size:
+        n_rays *= s
+    xy = xy_grid.reshape(batch_size, n_rays, 2)
+    xy3 = jnp.concatenate(
+        [
+            xy,
+            xy + jnp.asarray([pixel_hw_ndc[1], 0.0], xy.dtype),
+            xy + jnp.asarray([0.0, pixel_hw_ndc[0]], xy.dtype),
+        ],
+        axis=1,
+    )
+    xyz = jnp.concatenate(
+        [xy3, jnp.ones((batch_size, 3 * n_rays, 1), xy.dtype)], axis=-1
+    )
+    unprojected = cameras.unproject_points(xyz, from_ndc=True)
+    plane, plane_dx, plane_dy = jnp.split(unprojected, 3, axis=1)
+    dx_norm = jnp.linalg.norm(plane_dx - plane, axis=-1, keepdims=True)
+    dy_norm = jnp.linalg.norm(plane_dy - plane, axis=-1, keepdims=True)
+    radii = (dx_norm + dy_norm) / 12**0.5
+    return radii.reshape((batch_size,) + spatial_size + (1,))
+
+
 class RaySamplerBase(ReplaceableBase):
     def __call__(self, cameras, evaluation_mode, mask=None, key=None):
         raise NotImplementedError
@@ -57,10 +91,18 @@ class AbstractMaskRaySampler(RaySamplerBase):
                 "n_rays_total_training requires sampling_mode_training="
                 "'mask_sample'"
             )
+        # conical frustums sample bin EDGES: one extra point per ray
+        # (reference ray_sampler.py:134-143)
+        extra = 1 if self.cast_ray_bundle_as_cone else 0
+        if self.cast_ray_bundle_as_cone and self.n_rays_total_training:
+            raise TypeError(
+                "Heterogeneous ray bundle is not supported for conical "
+                "frustum computation yet"
+            )
         self._training_raysampler = NDCMultinomialRaysampler(
             image_width=self.image_width,
             image_height=self.image_height,
-            n_pts_per_ray=self.n_pts_per_ray_training,
+            n_pts_per_ray=self.n_pts_per_ray_training + extra,
             min_depth=0.0,
             max_depth=0.0,
             n_rays_per_image=self.n_rays_per_image_sampled_from_mask
@@ -75,7 +117,7 @@ class AbstractMaskRaySampler(RaySamplerBase):
         self._evaluation_raysampler = NDCMultinomialRaysampler(
             image_width=self.image_width,
             image_height=self.image_height,
-            n_pts_per_ray=self.n_pts_per_ray_evaluation,
+            n_pts_per_ray=self.n_pts_per_ray_evaluation + extra,
             min_depth=0.0,
             max_depth=0.0,
             n_rays_per_image=None,
@@ -111,6 +153,30 @@ class AbstractMaskRaySampler(RaySamplerBase):
             max_depth=max_depth,
             key=key,
         )
+        if self.cast_ray_bundle_as_cone:
+            # sampled points are bin EDGES; lengths become midpoints
+            # (the reference stores bins and derives lengths lazily,
+            # base.py:108 — our dataclass stores both explicitly)
+            pixel_hw = (
+                abs(self._training_raysampler.max_y
+                    - self._training_raysampler.min_y)
+                / max(self.image_height - 1, 1),
+                abs(self._training_raysampler.max_x
+                    - self._training_raysampler.min_x)
+                / max(self.image_width - 1, 1),
+            )
+            pixel_radii_2d = compute_radii(
+                cameras, bundle.xys[..., :2], pixel_hw
+            )
+            bins = bundle.lengths
+            return ImplicitronRayBundle(
+                origins=bundle.origins,
+                directions=bundle.directions,
+                lengths=0.5 * (bins[..., 1:] + bins[..., :-1]),
+                xys=bundle.xys,
+                bins=bins,
+                pixel_radii_2d=pixel_radii_2d,
+            )
         return ImplicitronRayBundle(
             origins=bundle.origins,
             directions=bundle.directions,

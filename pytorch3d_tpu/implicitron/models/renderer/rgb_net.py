@@ -1,0 +1,79 @@
+"""IDR surface-shading network.
+
+Parity: reference implicitron/models/renderer/rgb_net.py:14
+(`RayNormalColoringNetwork`): an MLP mapping (points, view directions,
+surface normals, feature vectors) -> tanh colors, with optional
+harmonic view-direction embedding, weight normalization, and modes that
+omit the normals or view directions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ....renderer.implicit.harmonic_embedding import HarmonicEmbedding
+
+
+class RayNormalColoringNetwork(nn.Module):
+    """Reference rgb_net.py:14. Flax module; the renderer receives it
+    pre-adopted into the model scope (GenericModel `flax_module`
+    adoption) and calls it with the shading inputs."""
+
+    feature_vector_size: int = 3
+    mode: str = "idr"  # "idr" | "no_view_dir" | "no_normal"
+    d_in: int = 9
+    d_out: int = 3
+    dims: Tuple[int, ...] = (512, 512, 512, 512)
+    weight_norm: bool = True
+    n_harmonic_functions_dir: int = 0
+    pooled_feature_dim: int = 0
+
+    @nn.compact
+    def __call__(
+        self,
+        feature_vectors: jnp.ndarray,  # (..., F)
+        points: jnp.ndarray,  # (..., 3)
+        normals: jnp.ndarray,  # (..., 3)
+        directions: jnp.ndarray,  # (..., 3) per-point view directions
+        pooling_fn=None,
+    ) -> jnp.ndarray:
+        view_dirs = directions
+        if self.n_harmonic_functions_dir > 0:
+            view_dirs = HarmonicEmbedding(
+                self.n_harmonic_functions_dir, append_input=True
+            )(view_dirs)
+
+        if self.mode == "idr":
+            rendering_input = jnp.concatenate(
+                [points, view_dirs, normals, feature_vectors], axis=-1
+            )
+        elif self.mode == "no_view_dir":
+            rendering_input = jnp.concatenate(
+                [points, normals, feature_vectors], axis=-1
+            )
+        elif self.mode == "no_normal":
+            rendering_input = jnp.concatenate(
+                [points, view_dirs, feature_vectors], axis=-1
+            )
+        else:
+            raise ValueError(f"Unsupported rendering mode: {self.mode}")
+
+        if pooling_fn is not None:
+            featspool = pooling_fn(points[None])[0]
+            rendering_input = jnp.concatenate(
+                [rendering_input, featspool], axis=-1
+            )
+
+        x = rendering_input
+        n_layers = len(self.dims) + 1
+        for li, out_dim in enumerate(list(self.dims) + [self.d_out]):
+            lin = nn.Dense(out_dim, name=f"linear{li}")
+            if self.weight_norm:
+                lin = nn.WeightNorm(lin, name=f"wn{li}")
+            x = lin(x)
+            if li < n_layers - 1:
+                x = nn.relu(x)
+        return nn.tanh(x)

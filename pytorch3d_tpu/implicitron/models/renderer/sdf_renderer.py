@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from ...tools.config import registry
 from .base import BaseRenderer, EvaluationMode, ImplicitronRayBundle, RendererOutput
 from .ray_tracing import RayTracing
+from .rgb_net import RayNormalColoringNetwork
 
 
 @registry.register
@@ -23,12 +24,33 @@ class SignedDistanceFunctionRenderer(BaseRenderer):
     render_features_dimensions: int = 3
     object_bounding_sphere: float = 1.0
     ray_tracer_args: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # IDR surface shading network (reference sdf_renderer.py:32); None
+    # falls back to reading colors directly from the implicit function's
+    # feature channels (the pre-round-2 behavior).
+    ray_normal_coloring_network_args: Optional[Dict[str, Any]] = None
     bg_color: tuple = (0.0,)
 
     def __post_init__(self):
         args = dict(self.ray_tracer_args)
         args.setdefault("object_bounding_sphere", self.object_bounding_sphere)
         self._ray_tracer = RayTracing(**args)
+        # constructed once here (outside any flax method) like the
+        # LSTMRenderer core; GenericModel adopts it into its scope
+        self._rgb_net = (
+            RayNormalColoringNetwork(**self.ray_normal_coloring_network_args)
+            if self.ray_normal_coloring_network_args is not None
+            else None
+        )
+
+    @property
+    def flax_module(self):
+        """The learnable rgb network, adopted into the model scope by
+        GenericModel (same mechanism as the LSTMRenderer core)."""
+        return self._rgb_net
+
+    @property
+    def flax_module_kwarg(self) -> str:
+        return "rgb_network"
 
     def requires_object_mask(self) -> bool:
         return True
@@ -73,7 +95,19 @@ class SignedDistanceFunctionRenderer(BaseRenderer):
         )  # (B*R, ...)
 
         out = fn(points)  # (B*R, 1 + C)
-        features = out[..., 1 : 1 + self.render_features_dimensions]
+        rgb_network = kwargs.get("rgb_network")
+        if rgb_network is not None:
+            # IDR shading: color = rgb_net(points, view dirs, SDF
+            # normals, feature vectors) (reference sdf_renderer.py:52,
+            # rgb_net.py:84)
+            feature_vectors = out[..., 1:]
+            normals = jax.grad(lambda p: fn(p)[..., 0].sum())(points)
+            view_dirs = dirs.reshape(-1, 3)
+            features = rgb_network(
+                feature_vectors, points, normals, view_dirs
+            )[..., : self.render_features_dimensions]
+        else:
+            features = out[..., 1 : 1 + self.render_features_dimensions]
         features = jnp.where(net_mask[:, None], features, 0.0)
 
         mask = net_mask.astype(jnp.float32)[:, None]

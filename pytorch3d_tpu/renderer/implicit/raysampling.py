@@ -125,6 +125,10 @@ class MultinomialRaysampler:
         self._n_rays_total = n_rays_total
         self._unit_directions = unit_directions
         self._stratified_sampling = stratified_sampling
+        # exposed like the reference raysampler (used for NDC pixel sizes
+        # by the conical-frustum path, implicitron ray_sampler.py:177-180)
+        self.min_x, self.max_x = min_x, max_x
+        self.min_y, self.max_y = min_y, max_y
         ys, xs = jnp.meshgrid(
             jnp.linspace(min_y, max_y, image_height, dtype=jnp.float32),
             jnp.linspace(min_x, max_x, image_width, dtype=jnp.float32),
