@@ -12,6 +12,7 @@ enter a jitted step).
 from __future__ import annotations
 
 import dataclasses
+import enum
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -151,3 +152,130 @@ class SequenceDataLoaderMapProvider(Configurable):
                 batches = [[i] for i in range(len(ds))]
             out[split] = _Loader(ds, batches, num_workers=self.num_workers)
         return out
+
+
+@dataclasses.dataclass
+class DataLoaderMap:
+    """train/val/test data loader triple (reference
+    data_loader_map_provider.py:31)."""
+
+    train: Optional[_Loader]
+    val: Optional[_Loader]
+    test: Optional[_Loader]
+
+    def __getitem__(self, split: str):
+        if split not in ("train", "val", "test"):
+            raise ValueError(
+                f"{split} was not a valid split name (train/val/test)"
+            )
+        return getattr(self, split)
+
+
+class DataLoaderMapProviderBase(Configurable):
+    """Provider of a collection of data loaders (reference :55)."""
+
+    def get_data_loader_map(self, datasets) -> DataLoaderMap:
+        raise NotImplementedError()
+
+
+class BatchConditioningType(enum.Enum):
+    """How conditioning frames are added to val/test batches
+    (reference :233)."""
+
+    SAME = "same"
+    TRAIN = "train"
+    KNOWN = "known"
+
+
+class DoublePoolBatchSampler:
+    """Random batches of one frame from `first_indices` plus
+    (batch_size - 1) frames from `rest_indices` (reference :152)."""
+
+    def __init__(
+        self,
+        first_indices: List[int],
+        rest_indices: List[int],
+        batch_size: int,
+        replacement: bool,
+        num_batches: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> None:
+        self.first_indices = list(first_indices)
+        self.rest_indices = list(rest_indices)
+        self.batch_size = batch_size
+        self.replacement = replacement
+        self.num_batches = None if not num_batches else num_batches
+        if batch_size - 1 > len(self.rest_indices):
+            raise ValueError(
+                f"Cannot make up ({batch_size})-batches from"
+                f" {len(self.rest_indices)}"
+            )
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        if self.num_batches is not None:
+            return self.num_batches
+        return len(self.first_indices)
+
+    def __iter__(self) -> Iterator[List[int]]:
+        n = len(self)
+        if self.replacement:
+            firsts = self._rng.randint(
+                0, len(self.first_indices), size=n
+            ).tolist()
+        else:
+            order = self._rng.permutation(len(self.first_indices))
+            firsts = [int(order[i % len(order)]) for i in range(n)]
+        for f in firsts:
+            batch = [self.first_indices[f]]
+            if self.batch_size > 1:
+                rest = self._rng.choice(
+                    len(self.rest_indices),
+                    self.batch_size - 1,
+                    replace=False,
+                )
+                batch += [self.rest_indices[int(r)] for r in rest]
+            yield batch
+
+
+@dataclasses.dataclass
+class SimpleDataLoaderMapProvider(DataLoaderMapProviderBase):
+    """Trivial provider: eval batches if the dataset defines them,
+    otherwise shuffled single batches (reference :68)."""
+
+    batch_size: int = 1
+    num_workers: int = 0
+    dataset_length_train: int = 0
+    dataset_length_val: int = 0
+    dataset_length_test: int = 0
+
+    def get_data_loader_map(self, datasets) -> DataLoaderMap:
+        return DataLoaderMap(
+            train=self._make_data_loader(
+                datasets["train"], self.dataset_length_train
+            ),
+            val=self._make_data_loader(
+                datasets["val"], self.dataset_length_val
+            ),
+            test=self._make_data_loader(
+                datasets["test"], self.dataset_length_test
+            ),
+        )
+
+    def _make_data_loader(self, dataset, num_batches: int):
+        if dataset is None:
+            return None
+        eval_batches = getattr(dataset, "get_eval_batches", lambda: None)()
+        if eval_batches is not None:
+            return _Loader(
+                dataset, eval_batches, num_workers=self.num_workers
+            )
+        n = len(dataset)
+        order = np.random.RandomState(0).permutation(n).tolist()
+        if num_batches > 0:
+            order = order[: num_batches * self.batch_size]
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        return _Loader(dataset, batches, num_workers=self.num_workers)

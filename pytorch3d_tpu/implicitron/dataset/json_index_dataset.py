@@ -273,90 +273,37 @@ class JsonIndexDataset(DatasetBase):
         scale = float(d.get("scale_adjustment", 1.0))
         return (depth * scale)[..., None]
 
-    def __getitem__(self, index) -> FrameData:
-        """Full FrameData build: load at original resolution, optional
-        mask-driven box crop (with camera refocus), aspect-preserving
-        resize with zero padding + mask_crop, camera rescale (reference
-        frame_data.py:791 `FrameDataBuilder.build`)."""
-        from . import utils as du
+    def frame_data_builder(self):
+        """The FrameDataBuilder configured from this dataset's fields
+        (reference frame_data.py:887; json_index_dataset delegates its
+        blob/geometry pipeline to it)."""
+        from .frame_data import FrameDataBuilder
 
-        entry = self._frame_annots[index]
-        vp = entry.get("viewpoint", {})
-        camera = None
-        if vp:
-            camera = PerspectiveCameras.create(
-                R=jnp.asarray(vp["R"], jnp.float32)[None],
-                T=jnp.asarray(vp["T"], jnp.float32)[None],
-                focal_length=jnp.asarray(vp["focal_length"], jnp.float32)[None],
-                principal_point=jnp.asarray(
-                    vp["principal_point"], jnp.float32
-                )[None],
-            )
-        image = self._load_image(entry.get("image", {}).get("path", ""))
-        mask = self._load_mask(entry.get("mask", {}).get("path", ""))
-        depth = self._load_depth(entry)
-
-        bbox_xywh = None
-        crop_bbox_xywh = None
-        if self.box_crop and mask is not None and image is not None:
-            bbox_xywh = np.asarray(
-                du.get_bbox_from_mask(mask[..., 0], self.box_crop_mask_thr),
-                np.float64,
-            )
-            bbox_xyxy = du.get_clamp_bbox(
-                bbox_xywh,
-                box_crop_context=self.box_crop_context,
-                image_path=entry.get("image", {}).get("path", ""),
-            )
-            clamped = du.clamp_box_to_image_bounds_and_round(
-                bbox_xyxy, image.shape[:2]
-            )
-            crop_bbox_xywh = du.bbox_xyxy_to_xywh(clamped)
-            pre_crop_wh = (image.shape[1], image.shape[0])
-            image = du.crop_around_box(image, clamped)
-            mask = du.crop_around_box(mask, clamped)
-            if depth is not None:
-                depth = du.crop_around_box(depth, clamped)
-            if camera is not None:
-                camera = du.adjust_camera_to_bbox_crop(
-                    camera, pre_crop_wh, crop_bbox_xywh
-                )
-
-        mask_crop = None
-        if image is not None:
-            H = self.image_height or image.shape[0]
-            W = self.image_width or image.shape[1]
-            pre_hw = image.shape[:2]
-            image, scale, mask_crop = du.resize_image(image, H, W)
-            if mask is not None:
-                mask, _, _ = du.resize_image(mask, H, W, mode="nearest")
-            if depth is not None:
-                depth, _, _ = du.resize_image(depth, H, W, mode="nearest")
-            if camera is not None:
-                camera = du.adjust_camera_to_image_scale(
-                    camera, (pre_hw[1], pre_hw[0]), (W, H)
-                )
-
-        return FrameData(
-            frame_number=entry.get("frame_number"),
-            sequence_name=entry["sequence_name"],
-            sequence_category=self.sequence_category(entry["sequence_name"]),
-            image_rgb=None if image is None else jnp.asarray(image)[None],
-            fg_probability=None if mask is None else jnp.asarray(mask)[None],
-            depth_map=None if depth is None else jnp.asarray(depth)[None],
-            mask_crop=(
-                None if mask_crop is None else jnp.asarray(mask_crop)[None]
-            ),
-            bbox_xywh=(
-                None if bbox_xywh is None else jnp.asarray(bbox_xywh)
-            ),
-            crop_bbox_xywh=(
-                None
-                if crop_bbox_xywh is None
-                else jnp.asarray(crop_bbox_xywh)
-            ),
-            camera=camera,
-            image_path=entry.get("image", {}).get("path"),
-            mask_path=entry.get("mask", {}).get("path"),
-            frame_type=entry.get("meta", {}).get("frame_type", "known"),
+        return FrameDataBuilder(
+            dataset_root=self.dataset_root,
+            load_images=self.load_images,
+            load_depths=self.load_depths,
+            load_depth_masks=self.load_depth_masks,
+            load_masks=self.load_masks,
+            image_height=self.image_height,
+            image_width=self.image_width,
+            box_crop=self.box_crop,
+            box_crop_mask_thr=self.box_crop_mask_thr,
+            box_crop_context=self.box_crop_context,
         )
+
+    def __getitem__(self, index) -> FrameData:
+        """Full FrameData build via FrameDataBuilder (reference
+        frame_data.py:791 `FrameDataBuilder.build`)."""
+        entry = self._frame_annots[index]
+        fd = self.frame_data_builder().build(
+            entry,
+            sequence_category=self.sequence_category(entry["sequence_name"]),
+        )
+        meta = entry.get("meta")
+        frame_type = (
+            meta.get("frame_type", "known")
+            if isinstance(meta, dict)
+            else "known"
+        )
+        return dataclasses.replace(fd, frame_type=frame_type)

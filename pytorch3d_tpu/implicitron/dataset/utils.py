@@ -232,3 +232,120 @@ def adjust_camera_to_image_scale(
         focal_length=jnp.asarray(fl, jnp.float32)[None],
         principal_point=jnp.asarray(pp, jnp.float32)[None],
     )
+
+
+class GenericWorkaround:
+    """Kept for reference API compatibility (reference dataset/utils.py:28
+    works around an OmegaConf + Generic-base dataclass issue; our
+    plain-dict config system does not need it)."""
+
+
+def is_known_frame_scalar(frame_type: str) -> bool:
+    """Whether a single frame-type string marks a known frame
+    (reference dataset/utils.py:48)."""
+    return frame_type.endswith("known")
+
+
+def transpose_normalize_image(image: np.ndarray) -> np.ndarray:
+    """HWC uint8 -> CHW float in [0, 1] (reference dataset/utils.py:244;
+    the reference's channel-first convention — FrameData in this
+    framework is channel-last, these utilities keep the reference
+    contract)."""
+    im = np.atleast_3d(image).transpose((2, 0, 1))
+    return im.astype(np.float32) / 255.0
+
+
+def load_image(
+    path: str, try_read_alpha: bool = False, pil_format: str = "RGB"
+) -> np.ndarray:
+    """(C, H, W) float image in [0, 1] (reference dataset/utils.py:249)."""
+    from PIL import Image
+
+    with Image.open(path) as pil_im:
+        if try_read_alpha and pil_im.mode == "RGBA":
+            im = np.array(pil_im)
+        else:
+            im = np.array(pil_im.convert(pil_format))
+    return transpose_normalize_image(im)
+
+
+def load_mask(path: str) -> np.ndarray:
+    """(1, H, W) float mask in [0, 1] (reference dataset/utils.py:268)."""
+    from PIL import Image
+
+    with Image.open(path) as pil_im:
+        mask = np.array(pil_im)
+    return transpose_normalize_image(mask)
+
+
+def load_16big_png_depth(depth_png: str) -> np.ndarray:
+    """16-bit-as-float16 PNG depth (reference dataset/utils.py:295)."""
+    from PIL import Image
+
+    with Image.open(depth_png) as depth_pil:
+        depth = (
+            np.frombuffer(
+                np.array(depth_pil, dtype=np.uint16), dtype=np.float16
+            )
+            .astype(np.float32)
+            .reshape((depth_pil.size[1], depth_pil.size[0]))
+        )
+    return depth
+
+
+def load_1bit_png_mask(file: str) -> np.ndarray:
+    """Binary (H, W) float mask (reference dataset/utils.py:307)."""
+    from PIL import Image
+
+    with Image.open(file) as pil_im:
+        mask = (np.array(pil_im.convert("L")) > 0.0).astype(np.float32)
+    return mask
+
+
+def load_depth(path: str, scale_adjustment: float) -> np.ndarray:
+    """(1, H, W) float depth with scale adjustment; .png only (the
+    reference additionally supports .exr via OpenCV, dataset/utils.py:275
+    — cv2 is not in this environment)."""
+    if not path.lower().endswith(".png"):
+        raise ValueError('unsupported depth file name "%s"' % path)
+    d = load_16big_png_depth(path) * scale_adjustment
+    d[~np.isfinite(d)] = 0.0
+    return d[None]
+
+
+def load_depth_mask(path: str) -> np.ndarray:
+    """(1, H, W) binary depth mask from a 1-bit png (reference
+    dataset/utils.py:313)."""
+    if not path.lower().endswith(".png"):
+        raise ValueError('unsupported depth mask file name "%s"' % path)
+    return load_1bit_png_mask(path)[None]
+
+
+def safe_as_tensor(data, dtype):
+    """None-propagating array conversion (reference dataset/utils.py:320)."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(data, dtype) if data is not None else None
+
+
+def load_pointcloud(pcl_path, max_points: int = 0):
+    """Load a point cloud via the pluggable IO, optionally subsampled
+    (reference dataset/utils.py:408)."""
+    from ...io import IO
+
+    pcl = IO().load_pointcloud(pcl_path)
+    if max_points > 0:
+        pcl = pcl.subsample(max_points)
+    return pcl
+
+
+def adjust_camera_to_bbox_crop_(camera, image_size_wh, clamp_bbox_xywh):
+    """Reference's in-place variant (dataset/utils.py:352); RETURNS the
+    adjusted camera (JAX immutability)."""
+    return adjust_camera_to_bbox_crop(camera, image_size_wh, clamp_bbox_xywh)
+
+
+def adjust_camera_to_image_scale_(camera, original_size_wh, new_size_wh):
+    """Reference's in-place variant (dataset/utils.py:380); RETURNS the
+    adjusted camera."""
+    return adjust_camera_to_image_scale(camera, original_size_wh, new_size_wh)

@@ -14,7 +14,7 @@ from typing import Any, Dict, List, Optional
 import jax
 
 from ..models.renderer.base import EvaluationMode
-from ..tools.config import Configurable
+from ..tools.config import Configurable, ReplaceableBase, registry
 from .evaluate_new_view_synthesis import (
     aggregate_nvs_results,
     eval_batch,
@@ -22,8 +22,19 @@ from .evaluate_new_view_synthesis import (
 )
 
 
+class EvaluatorBase(ReplaceableBase):
+    """Replaceable base: evaluate a trained model on given data
+    (reference evaluator.py:30)."""
+
+    is_multisequence: bool = False
+
+    def run(self, model, params, dataloader, **kwargs):
+        raise NotImplementedError
+
+
+@registry.register
 @dataclasses.dataclass
-class ImplicitronEvaluator(Configurable):
+class ImplicitronEvaluator(EvaluatorBase, Configurable):
     """Evaluate new-view synthesis over a test data loader (reference :48)."""
 
     camera_difficulty_bin_breaks: tuple = (0.97, 0.98)

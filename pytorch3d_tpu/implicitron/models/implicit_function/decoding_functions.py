@@ -17,12 +17,23 @@ rays*points.
 
 from __future__ import annotations
 
+from enum import Enum
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from ...tools.config import ReplaceableBase, registry
+
+
+class DecoderActivation(Enum):
+    """Activation choices (reference decoding_functions.py:34); modules
+    here also accept the raw string values."""
+
+    RELU = "relu"
+    SOFTPLUS = "softplus"
+    SIGMOID = "sigmoid"
+    IDENTITY = "identity"
 
 
 class DecoderFunctionBase(ReplaceableBase):

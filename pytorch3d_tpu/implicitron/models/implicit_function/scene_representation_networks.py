@@ -146,10 +146,10 @@ class _Hypernet(nn.Module):
         return x @ W + b
 
 
-@registry.register
-class SRNHyperNetImplicitFunction(nn.Module, ImplicitFunctionBase):
-    """SRN whose trunk weights come from a hypernetwork on a scene latent
-    (reference SRNHyperNetImplicitFunction)."""
+class SRNRaymarchHyperNet(nn.Module):
+    """The hypernetwork-driven raymarch trunk: a latent code generates
+    the weights of the 2-layer point MLP (reference
+    scene_representation_networks.py `SRNRaymarchHyperNet`)."""
 
     latent_dim: int = 64
     n_hidden_units: int = 128
@@ -164,6 +164,28 @@ class SRNHyperNetImplicitFunction(nn.Module, ImplicitFunctionBase):
         self.hyper2 = _Hypernet(
             target_in=self.n_hidden_units, target_out=self.n_hidden_units
         )
+
+    def __call__(self, latent: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+        x = self.embed(pts)
+        h = nn.relu(self.hyper1(latent, x))
+        return nn.relu(self.hyper2(latent, h))
+
+
+@registry.register
+class SRNHyperNetImplicitFunction(nn.Module, ImplicitFunctionBase):
+    """SRN whose trunk weights come from a hypernetwork on a scene latent
+    (reference SRNHyperNetImplicitFunction)."""
+
+    latent_dim: int = 64
+    n_hidden_units: int = 128
+    n_harmonic_functions: int = 3
+
+    def setup(self):
+        self.raymarch_function = SRNRaymarchHyperNet(
+            latent_dim=self.latent_dim,
+            n_hidden_units=self.n_hidden_units,
+            n_harmonic_functions=self.n_harmonic_functions,
+        )
         self.pixel_generator = SRNPixelGenerator(
             in_features=self.n_hidden_units,
             n_hidden_units=self.n_hidden_units,
@@ -177,7 +199,5 @@ class SRNHyperNetImplicitFunction(nn.Module, ImplicitFunctionBase):
             global_code if global_code is not None else self.default_latent
         )
         pts = ray_bundle_to_ray_points(ray_bundle)
-        x = self.embed(pts)
-        h = nn.relu(self.hyper1(latent, x))
-        h = nn.relu(self.hyper2(latent, h))
+        h = self.raymarch_function(latent, pts)
         return self.pixel_generator(h, ray_bundle.directions)

@@ -10,10 +10,11 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..tools.config import registry
-from .base_model import ImplicitronModelBase
+from .base_model import ImplicitronModelBase, ImplicitronRender
 from .generic_model import GenericModel
 
 
@@ -83,17 +84,39 @@ class ModelDBIR(nn.Module, ImplicitronModelBase):
         feats = jnp.concatenate(feats_all, axis=0)[None]
 
         pc = Pointclouds.create(pts, features=feats)
-        target_cam = kwargs.get("target_camera", camera)
-        renderer = PointsRenderer(
-            PointsRasterizer(
-                target_cam,
-                PointsRasterizationSettings(
-                    image_size=(self.render_image_height, self.render_image_width),
-                    radius=0.01,
-                    points_per_pixel=4,
-                ),
+        if self.max_points > 0 and pc.points_padded().shape[1] > self.max_points:
+            pc = pc.subsample(self.max_points, key=jax.random.PRNGKey(0))
+        target_cam = kwargs.get("target_camera")
+        if target_cam is None:
+            # reference model_dbir.py renders into the (first) target view
+            target_cam = camera[0] if hasattr(camera, "__getitem__") else camera
+        rasterizer = PointsRasterizer(
+            target_cam,
+            PointsRasterizationSettings(
+                image_size=(self.render_image_height, self.render_image_width),
+                radius=0.01,
+                points_per_pixel=4,
             ),
-            AlphaCompositor(background_color=(self.bg_color,) * 3),
         )
-        images = renderer(pc)
-        return {"images_render": images, "point_cloud": pc}
+        frags = rasterizer(pc)
+        compositor = AlphaCompositor(background_color=(self.bg_color,) * 3)
+        images = compositor(
+            frags.idx, frags.alpha_weights(), pc.features_packed()
+        ) if hasattr(frags, "alpha_weights") else PointsRenderer(
+            rasterizer, compositor
+        )(pc)
+        mask_render = (frags.idx[..., :1] >= 0).astype(images.dtype)
+        zb = frags.zbuf[..., :1]
+        depth_render = jnp.where(zb > 0, zb, 0.0)
+        render = ImplicitronRender(
+            image_render=images,
+            mask_render=mask_render,
+            depth_render=depth_render,
+        )
+        return {
+            "implicitron_render": render,
+            "images_render": images,
+            "masks_render": mask_render,
+            "depths_render": depth_render,
+            "point_cloud": pc,
+        }

@@ -8,11 +8,22 @@ Parity: reference implicitron/models/view_pooler/feature_aggregator.py
 from __future__ import annotations
 
 import dataclasses
+import enum
 from typing import Dict, Optional, Sequence
 
 import jax.numpy as jnp
 
 from ...tools.config import ReplaceableBase, registry
+
+
+class ReductionFunction(enum.Enum):
+    """View-reduction choices (reference feature_aggregator.py:23); the
+    aggregators also accept the raw string values."""
+
+    AVG = "avg"
+    MAX = "max"
+    STD = "std"
+    STD_AVG = "std_avg"
 
 
 class FeatureAggregatorBase(ReplaceableBase):
@@ -52,7 +63,13 @@ class IdentityFeatureAggregator(FeatureAggregatorBase):
 class ReductionFeatureAggregator(FeatureAggregatorBase):
     """Mean/std/max reduction over source views (reference)."""
 
-    reduction_functions: Sequence[str] = ("avg", "std")
+    reduction_functions: Sequence = ("avg", "std")
+
+    def _reduction_names(self):
+        return [
+            r.value if isinstance(r, ReductionFunction) else str(r)
+            for r in self.reduction_functions
+        ]
 
     def get_aggregated_feature_dim(self, feats_dim: int, n_views: int) -> int:
         return feats_dim * len(self.reduction_functions)
@@ -62,11 +79,18 @@ class ReductionFeatureAggregator(FeatureAggregatorBase):
         for name, f in feats_sampled.items():  # (V, P, C)
             parts = []
             mean, std = _masked_mean_std(f, masks_sampled, axis=0)
-            for red in self.reduction_functions:
+            for red in self._reduction_names():
                 if red == "avg":
                     parts.append(mean)
                 elif red == "std":
                     parts.append(std)
+                elif red == "std_avg":
+                    parts.append(
+                        jnp.broadcast_to(
+                            std.mean(axis=-1, keepdims=True),
+                            std.shape[:-1] + (1,),
+                        )
+                    )
                 elif red == "max":
                     parts.append(
                         jnp.max(

@@ -1,18 +1,83 @@
 """Project 3D points into source views and sample features.
 
 Parity: reference implicitron/models/view_pooler/view_sampler.py
-(`ViewSampler`).
+(`ViewSampler` :19, `project_points_and_sample` :102, `handle_seq_id`
+:191, `cameras_points_cartesian_product` :216).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ....renderer.utils import ndc_grid_sample
 from ...tools.config import Configurable
+
+
+def handle_seq_id(seq_id, device=None) -> jnp.ndarray:
+    """Convert a sequence of sequence ids (strings / ints / array) to an
+    int array (reference view_sampler.py:191); strings hash stably via
+    crc32."""
+    import zlib
+
+    if isinstance(seq_id, jnp.ndarray) or isinstance(seq_id, np.ndarray):
+        return jnp.asarray(seq_id, jnp.int64)
+    if len(seq_id) > 0 and isinstance(seq_id[0], str):
+        seq_id = [zlib.crc32(s.encode("utf8")) for s in seq_id]
+    return jnp.asarray(list(seq_id), jnp.int64)
+
+
+def cameras_points_cartesian_product(camera, pts: jnp.ndarray):
+    """All (camera, point-batch) pairs: cameras repeated point-batch
+    times each, points tiled camera-batch times (reference
+    view_sampler.py:216)."""
+    n_cameras = camera.R.shape[0]
+    pts_batch = pts.shape[0]
+    idx = jnp.repeat(jnp.arange(n_cameras), pts_batch)
+    camera_rep = camera[idx]
+    pts_rep = jnp.tile(pts, (n_cameras,) + (1,) * (pts.ndim - 1))
+    return camera_rep, pts_rep
+
+
+def project_points_and_sample(
+    pts: jnp.ndarray,  # (pts_batch, n_pts, 3)
+    feats: Dict[str, jnp.ndarray],  # name -> (n_cameras, C, H, W)
+    camera,
+    masks: Optional[jnp.ndarray],  # (n_cameras, 1, H, W) | None
+    eps: float = 1e-2,
+    sampling_mode: str = "bilinear",
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Project every point batch into every camera and sample features
+    at the projections (reference view_sampler.py:102). Returns
+    ({name: (pts_batch, n_cameras, n_pts, C)},
+    (pts_batch, n_cameras, n_pts, 1))."""
+    n_cameras = camera.R.shape[0]
+    pts_batch = pts.shape[0]
+    n_pts = pts.shape[1:-1]
+
+    camera_rep, pts_rep = cameras_points_cartesian_product(camera, pts)
+    proj_rep = camera_rep.transform_points(
+        pts_rep.reshape(n_cameras * pts_batch, -1, 3), eps=eps
+    )[..., :2]
+    grid = proj_rep.reshape(n_cameras, pts_batch, -1, 2)
+
+    def sample(f):
+        s = ndc_grid_sample(f, grid, mode=sampling_mode)  # (V, C, B, P)
+        return jnp.moveaxis(s, 1, -1).swapaxes(0, 1).reshape(
+            (pts_batch, n_cameras) + n_pts + (-1,)
+        )
+
+    feats_sampled = {k: sample(f) for k, f in feats.items()}
+    if masks is not None:
+        masks_sampled = sample(masks)
+    else:
+        masks_sampled = jnp.ones(
+            (pts_batch, n_cameras) + n_pts + (1,), pts.dtype
+        )
+    return feats_sampled, masks_sampled
 
 
 @dataclasses.dataclass

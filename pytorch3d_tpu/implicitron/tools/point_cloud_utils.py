@@ -34,9 +34,14 @@ def get_rgbd_point_cloud(
     xy = jnp.stack([xs, ys], axis=-1).reshape(-1, 2)
     pts, feats = [], []
     for i in range(N):
+        # index the camera batch per frame (a batched unproject would
+        # broadcast every camera against every frame's depths)
+        cam_i = camera
+        if hasattr(camera, "__getitem__") and camera.R.shape[0] == N:
+            cam_i = camera[i]
         d = depth_map[i, ..., 0].reshape(-1)
         xyd = jnp.concatenate([xy, d[:, None]], axis=-1)[None]
-        world = camera.unproject_points(xyd)[0]
+        world = cam_i.unproject_points(xyd)[0]
         keep = d > 0
         if mask is not None:
             keep = keep & (mask[i, ..., 0].reshape(-1) > mask_thr)
