@@ -25,8 +25,12 @@ import math
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
+
 import jax
 import jax.numpy as jnp
+
+from ...tools.config import registry
+from .feature_extractor import FeatureExtractorBase
 
 MASK_FEATURE_NAME = "mask"
 IMAGE_FEATURE_NAME = "image"
@@ -113,7 +117,8 @@ class Bottleneck(nn.Module):
         return nn.relu(x + y)
 
 
-class ResNetFeatureExtractor(nn.Module):
+@registry.register
+class ResNetFeatureExtractor(nn.Module, FeatureExtractorBase):
     """Multi-scale ResNet feature pyramid (reference :38 settings).
 
     Settings (mirroring the reference field-for-field; the reference's

@@ -292,3 +292,65 @@ class TestSequencePointcloudAndEvalDemo:
         for k, v in result.items():
             if isinstance(v, float):
                 assert np.isfinite(v) or np.isnan(v)
+
+
+class TestV1ProviderAndThirdParty:
+    def test_json_index_v1_provider(self, blob_category):
+        from pytorch3d_tpu.implicitron.dataset.json_index_dataset_map_provider import (  # noqa: E501
+            JsonIndexDatasetMapProvider,
+        )
+
+        root, category, frames = blob_category
+        # rename set_lists file to the V1 naming
+        import shutil
+
+        src = os.path.join(
+            root, category, "set_lists", "set_lists_manyview_dev_0.json"
+        )
+        dst = os.path.join(
+            root, category, "set_lists", "set_lists_singlesequence.json"
+        )
+        shutil.copy(src, dst)
+        provider = JsonIndexDatasetMapProvider(
+            category=category,
+            task_str="singlesequence",
+            dataset_root=root,
+            assert_single_seq=True,
+            dataset_args={"image_height": 8, "image_width": 8},
+        )
+        dmap = provider.get_dataset_map()
+        assert len(dmap["train"]) == 3 and len(dmap["test"]) == 2
+        fd = dmap["test"][0]
+        assert fd.image_rgb.shape == (1, 8, 8, 3)
+
+    def test_hyperfc_gradients(self):
+        import flax.linen as nn
+
+        from pytorch3d_tpu.implicitron.third_party.hyperlayers import HyperFC
+
+        class Apply(nn.Module):
+            @nn.compact
+            def __call__(self, latent, x):
+                layers = HyperFC(
+                    in_ch=3, out_ch=2, hidden_ch=8, hyper_hidden_ch=8,
+                    num_hidden_layers=1, outermost_linear=True,
+                )(latent)
+                for l in layers:
+                    x = l(x)
+                return x
+
+        m = Apply()
+        v = m.init(jax.random.PRNGKey(0), jnp.ones((4,)), jnp.ones((5, 3)))
+        loss = lambda p, z: (m.apply(p, z, jnp.ones((5, 3))) ** 2).sum()
+        g = jax.grad(loss, argnums=1)(v, jnp.ones((4,)))
+        assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+
+    def test_fcblock(self):
+        from pytorch3d_tpu.implicitron.third_party.pytorch_prototyping import (
+            FCBlock,
+        )
+
+        m = FCBlock(hidden_ch=8, num_hidden_layers=2, out_features=5,
+                    outermost_linear=True)
+        v = m.init(jax.random.PRNGKey(0), jnp.ones((7, 3)))
+        assert m.apply(v, jnp.ones((7, 3))).shape == (7, 5)
