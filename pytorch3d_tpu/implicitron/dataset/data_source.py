@@ -8,12 +8,20 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
-from ..tools.config import Configurable, registry, run_auto_creation
+from ..tools.config import ReplaceableBase, Configurable, registry, run_auto_creation
 from .data_loader_map_provider import SequenceDataLoaderMapProvider
 from .dataset_base import DatasetMap, ListDataset
 
 
 @dataclasses.dataclass
+class DataSourceBase(ReplaceableBase):
+    """Replaceable base providing datasets + dataloaders (reference
+    data_source.py:21)."""
+
+    def get_datasets_and_dataloaders(self):
+        raise NotImplementedError()
+
+
 class ImplicitronDataSource(Configurable):
     """Encapsulates dataset map + data loader construction (reference :44)."""
 
