@@ -209,3 +209,22 @@ def render_cubified_voxels(voxels, shader_type=None, **kwargs):
     )
     return renderer(meshes)
 
+
+
+def align_bbox(src: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
+    """Scale+shift src points per-axis so their min/max align with tgt's
+    (reference r2n2/utils.py:323)."""
+    if src.ndim != 2 or tgt.ndim != 2:
+        raise ValueError("Both src and tgt need to have dimensions of 2.")
+    if src.shape[-1] != 3 or tgt.shape[-1] != 3:
+        raise ValueError(
+            "Both src and tgt need to have sizes of 3 along the second "
+            "dimension."
+        )
+    src_min = src.min(axis=0)
+    src_max = src.max(axis=0)
+    tgt_min = tgt.min(axis=0)
+    tgt_max = tgt.max(axis=0)
+    scale = (tgt_max - tgt_min) / (src_max - src_min)
+    shift = tgt_min - scale * src_min
+    return scale * src + shift

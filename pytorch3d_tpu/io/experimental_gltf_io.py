@@ -89,7 +89,15 @@ class _GLTFLoader:
             ).reshape(count, n_comp)
         return arr
 
-    def load(self, include_textures: bool = True) -> Optional[Meshes]:
+    def load_named(self, include_textures: bool = True):
+        """List of (name, Meshes) pairs, one per primitive (reference
+        experimental_gltf_io.py:526 `load_meshes` contract)."""
+        named = []
+        out = self.load(include_textures=include_textures, _named=named)
+        del out
+        return named
+
+    def load(self, include_textures: bool = True, _named=None) -> Optional[Meshes]:
         meshes = []
         scene = self._json.get("scene", 0)
         scenes = self._json.get("scenes", [{"nodes": []}])
@@ -124,13 +132,16 @@ class _GLTFLoader:
                 tex = None
                 if include_textures and "TEXCOORD_0" in prim.get("attributes", {}):
                     tex = self._load_texture(prim, faces)
-                meshes.append(
-                    Meshes.create(
-                        [jnp.asarray(verts)],
-                        [jnp.asarray(faces.astype(np.int32))],
-                        textures=tex,
-                    )
+                mesh = Meshes.create(
+                    [jnp.asarray(verts)],
+                    [jnp.asarray(faces.astype(np.int32))],
+                    textures=tex,
                 )
+                meshes.append(mesh)
+                if _named is not None:
+                    _named.append(
+                        (node.get("name", mesh_def.get("name")), mesh)
+                    )
         if not meshes:
             return None
         return meshes[0] if len(meshes) == 1 else join_meshes_as_batch(meshes)
@@ -279,3 +290,11 @@ class MeshGlbFormat(MeshFormatInterpreter):
         with open(str(path), "wb") as f:
             _GLTFWriter(data, f).save()
         return True
+
+
+def load_meshes(path, path_manager=None, include_textures: bool = True):
+    """All meshes of the default scene of a .glb/.gltf file as
+    (name, Meshes) pairs (reference experimental_gltf_io.py:526)."""
+    with open(path, "rb") as f:
+        loader = _GLTFLoader(f)
+        return loader.load_named(include_textures=include_textures)

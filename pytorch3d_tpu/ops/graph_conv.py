@@ -68,3 +68,14 @@ class GraphConv(nn.Module):
         verts_w0 = w0(verts)
         neighbor_sums = gather_scatter(w1(verts), edges, self.directed)
         return verts_w0 + neighbor_sums
+
+
+class GatherScatter:
+    """Class wrapper over `gather_scatter` (the reference's autograd
+    Function, graph_conv.py:136)."""
+
+    def __init__(self, directed: bool = False) -> None:
+        self.directed = directed
+
+    def __call__(self, input, edges):
+        return gather_scatter(input, edges, self.directed)

@@ -87,28 +87,7 @@ from .points import (
 )
 from .points.pulsar.unified import PulsarPointsRenderer
 from .utils import TensorProperties as _TP
-
-
-def convert_to_tensors_and_broadcast(*args, dtype=None, device=None):
-    """Broadcast mixed scalars/arrays to a common batch dim
-    (reference renderer/utils.py:339)."""
-    import jax.numpy as jnp
-
-    tensors = [
-        jnp.atleast_1d(jnp.asarray(a, dtype or jnp.float32)) for a in args
-    ]
-    N = max(t.shape[0] for t in tensors)
-    out = []
-    for t in tensors:
-        if t.shape[0] == 1 and N > 1:
-            t = jnp.broadcast_to(t, (N,) + t.shape[1:])
-        elif t.shape[0] not in (1, N):
-            raise ValueError(
-                "Got non-broadcastable sizes %r"
-                % [tt.shape[0] for tt in tensors]
-            )
-        out.append(t)
-    return out
+from .utils import convert_to_tensors_and_broadcast, format_tensor  # noqa: F401
 
 
 __all__ = [k for k in dir() if not k.startswith("_")]

@@ -146,3 +146,44 @@ def convert_clipped_rasterization_to_original_faces(
         (pix_to_face_clipped >= 0)[..., None], bary, bary_clipped
     )
     return pix_to_face, bary
+
+
+class ClipFrustum:
+    """View-frustum description for clipping/culling (reference
+    clip.py:99). Axis values left as None disable culling for that
+    plane; `z_clip_value` enables near-plane triangle clipping (the
+    behavior implemented by `clip_faces`)."""
+
+    __slots__ = [
+        "left",
+        "right",
+        "top",
+        "bottom",
+        "znear",
+        "zfar",
+        "perspective_correct",
+        "cull",
+        "z_clip_value",
+    ]
+
+    def __init__(
+        self,
+        left=None,
+        right=None,
+        top=None,
+        bottom=None,
+        znear=None,
+        zfar=None,
+        perspective_correct: bool = False,
+        cull: bool = True,
+        z_clip_value=None,
+    ) -> None:
+        self.left = left
+        self.right = right
+        self.top = top
+        self.bottom = bottom
+        self.znear = znear
+        self.zfar = zfar
+        self.perspective_correct = perspective_correct
+        self.cull = cull
+        self.z_clip_value = z_clip_value

@@ -550,3 +550,71 @@ def rasterize_meshes(
     offsets = (jnp.arange(N, dtype=jnp.int32) * F)[:, None, None, None]
     pix_to_face = jnp.where(pix_local >= 0, pix_local + offsets, -1)
     return pix_to_face, zbuf, bary, dists
+
+
+# --------------------------------------------------------------------------- #
+# Reference-named public helpers (reference rasterize_meshes.py:664-765).
+# The internal math above uses the squared-distance / tuple-free forms;
+# these wrappers expose the reference's exact API.
+# --------------------------------------------------------------------------- #
+
+
+def barycentric_coordinates(p, v0, v1, v2):
+    """(w0, w1, w2) of point p w.r.t. triangle (v0, v1, v2) (reference
+    :691)."""
+    return tuple(
+        jnp.moveaxis(barycentric_coords(p, v0, v1, v2), -1, 0)
+    )
+
+
+def barycentric_coordinates_clip(bary):
+    """Clamp negative barycentrics to 0 and renormalize (reference :664).
+    Accepts and returns a (w0, w1, w2) tuple."""
+    w0 = jnp.clip(bary[0], 0.0)
+    w1 = jnp.clip(bary[1], 0.0)
+    w2 = jnp.clip(bary[2], 0.0)
+    s = jnp.clip(w0 + w1 + w2, 1e-5)
+    return (w0 / s, w1 / s, w2 / s)
+
+
+def point_line_distance(p, v0, v1):
+    """Squared distance from p to segment (v0, v1) (reference :709 —
+    despite its name the reference returns the non-square-rooted value)."""
+    if p.shape != v0.shape or v0.shape != v1.shape:
+        raise ValueError("All points must have the same number of coordinates")
+    return point_line_segment_distance2(p, v0, v1)
+
+
+def point_triangle_distance(p, v0, v1, v2):
+    """Squared distance from p to triangle (v0, v1, v2) (reference :748)."""
+    if p.shape != v0.shape or v0.shape != v1.shape or v1.shape != v2.shape:
+        raise ValueError("All points must have the same number of coordinates")
+    return point_triangle_distance2(p, v0, v1, v2)
+
+
+def rasterize_meshes_python(
+    meshes,
+    image_size: Union[int, Tuple[int, int]] = 256,
+    blur_radius: float = 0.0,
+    faces_per_pixel: int = 8,
+    perspective_correct: bool = False,
+    clip_barycentric_coords: bool = False,
+    cull_backfaces: bool = False,
+    z_clip_value: Optional[float] = None,
+    cull_to_frustum: bool = False,
+):
+    """The reference's pure-python rasterizer entry (reference :548).
+    Here the XLA scan oracle (`bin_size=0`) IS the non-kernel reference
+    path, so this is an alias of it."""
+    return rasterize_meshes(
+        meshes,
+        image_size=image_size,
+        blur_radius=blur_radius,
+        faces_per_pixel=faces_per_pixel,
+        bin_size=0,
+        perspective_correct=perspective_correct,
+        clip_barycentric_coords=clip_barycentric_coords,
+        cull_backfaces=cull_backfaces,
+        z_clip_value=z_clip_value,
+        cull_to_frustum=cull_to_frustum,
+    )

@@ -204,3 +204,18 @@ class SplatterPhongShader(ShaderBase):
         )
         blender = SplatterBlender()
         return blender(colors_a, pixel_coords, fragments, blend_params)
+
+
+class TexturedSoftPhongShader(SoftPhongShader):
+    """DEPRECATED alias of SoftPhongShader (reference shader.py keeps it
+    for backward compatibility)."""
+
+    def __init__(self, *args, **kwargs):
+        import warnings
+
+        warnings.warn(
+            "TexturedSoftPhongShader is deprecated; use SoftPhongShader",
+            PendingDeprecationWarning,
+            stacklevel=2,
+        )
+        super().__init__(*args, **kwargs)

@@ -14,6 +14,8 @@ Three texture types, all immutable pytrees with padded storage:
 
 from __future__ import annotations
 
+import abc
+
 from typing import List, Optional, Tuple
 
 import jax
@@ -32,6 +34,24 @@ def _subset_counts(counts, index):
     import numpy as np
 
     return tuple(int(counts[int(i)]) for i in np.asarray(index))
+
+
+class TexturesBase(abc.ABC):
+    """Common interface of the texture classes (reference textures.py:81).
+    The concrete classes here are flax struct dataclasses registered as
+    virtual subclasses so `isinstance(tex, TexturesBase)` works."""
+
+    def sample_textures(self, fragments, faces_packed=None):
+        raise NotImplementedError
+
+    def faces_verts_textures_packed(self, *args, **kwargs):
+        raise NotImplementedError
+
+    def join_batch(self, textures):
+        raise NotImplementedError
+
+    def join_scene(self, face_order=None):
+        raise NotImplementedError
 
 
 @struct.dataclass
@@ -613,3 +633,8 @@ def Textures(maps=None, faces_uvs=None, verts_uvs=None, verts_rgb=None):
         "Textures either requires all three of (faces uvs, verts uvs, maps)"
         " or verts rgb"
     )
+
+
+# register the struct-dataclass textures as virtual TexturesBase subclasses
+for _cls in (TexturesVertex, TexturesUV, TexturesAtlas):
+    TexturesBase.register(_cls)

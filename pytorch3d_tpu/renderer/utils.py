@@ -99,6 +99,34 @@ class TensorProperties:
         return self
 
 
+def format_tensor(input, dtype=None, device=None):
+    """Convert a python scalar / sequence to an array with at least one
+    dimension (reference renderer/utils.py:284; the device argument is
+    accepted for API parity — placement is explicit in JAX)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(input, dtype or jnp.float32)
+    if x.ndim == 0:
+        x = x.reshape(1)
+    return x
+
+
+def convert_to_tensors_and_broadcast(*args, dtype=None, device=None):
+    """Convert the inputs to arrays and broadcast their leading (batch)
+    dimension (reference renderer/utils.py:317)."""
+    import jax.numpy as jnp
+
+    tensors = [format_tensor(a, dtype=dtype) for a in args]
+    sizes = [t.shape[0] for t in tensors]
+    N = max(sizes)
+    if not all(s in (1, N) for s in sizes):
+        raise ValueError(f"Got non-broadcastable sizes {sizes}")
+    return [
+        jnp.broadcast_to(t, (N,) + t.shape[1:]) if t.shape[0] == 1 else t
+        for t in tensors
+    ]
+
+
 def parse_image_size(image_size) -> "tuple":
     """Normalize an image-size argument to (H, W) (reference
     renderer/utils.py:441)."""

@@ -11,7 +11,7 @@ back to matplotlib 3D axes (same API, returns the figure object).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional
 
 import numpy as np
 
@@ -35,6 +35,47 @@ def _mesh_arrays(mesh, index: int = 0):
 def _pointcloud_arrays(pcl, index: int = 0):
     n = int(pcl.num_points_per_cloud()[index])
     return np.asarray(pcl.points_padded()[index][:n])
+
+
+class AxisArgs(NamedTuple):
+    """Plotly axis display options (reference plotly_vis.py:85)."""
+
+    showgrid: bool = False
+    zeroline: bool = False
+    showline: bool = False
+    ticks: str = ""
+    showticklabels: bool = False
+    backgroundcolor: str = "#fff"
+    showaxeslabels: bool = False
+
+
+class Lighting(NamedTuple):
+    """Plotly mesh lighting options (reference plotly_vis.py:95)."""
+
+    ambient: float = 0.8
+    diffuse: float = 1.0
+    fresnel: float = 0.0
+    specular: float = 0.0
+    roughness: float = 0.5
+    facenormalsepsilon: float = 1e-6
+    vertexnormalsepsilon: float = 1e-12
+
+
+def get_camera_wireframe(scale: float = 0.3):
+    """The reference's camera-symbol wireframe points, (15, 3)
+    (reference plotly_vis.py:68)."""
+    import jax.numpy as jnp
+
+    a = 0.5 * np.asarray([-2, 1.5, 4], np.float32)
+    up1 = 0.5 * np.asarray([0, 1.5, 4], np.float32)
+    up2 = 0.5 * np.asarray([0, 2, 4], np.float32)
+    b = 0.5 * np.asarray([2, 1.5, 4], np.float32)
+    c = 0.5 * np.asarray([-2, -1.5, 4], np.float32)
+    d = 0.5 * np.asarray([2, -1.5, 4], np.float32)
+    C = np.zeros(3, np.float32)
+    F = np.asarray([0, 0, 3], np.float32)
+    pts = np.stack([a, up1, up2, up1, b, d, c, a, C, b, d, C, c, C, F])
+    return jnp.asarray(pts * scale)
 
 
 def _camera_wireframe(cameras, index: int = 0, scale: float = 0.3):

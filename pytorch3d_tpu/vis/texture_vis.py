@@ -43,3 +43,33 @@ def texturesuv_image_matplotlib(
         y = (H - 1) - y
     ax.scatter(x, y, s=radius, c=[color])
     return fig
+
+
+def texturesuv_image_PIL(
+    texture,
+    *,
+    texture_index: int = 0,
+    radius: float = 1.0,
+    color="red",
+    subsample: Optional[int] = 10000,
+):
+    """A PIL image of a TexturesUV map with the vertex UVs overlaid as
+    dots (reference texture_vis.py:73)."""
+    from PIL import Image, ImageDraw
+
+    centers = np.asarray(texture.centers_for_image(texture_index))
+    maps = texture.maps_padded()
+    maps = maps() if callable(maps) else maps
+    texture_image = np.asarray(maps[texture_index])
+    img = Image.fromarray(
+        (np.clip(texture_image, 0, 1) * 255).astype(np.uint8)
+    )
+    draw = ImageDraw.Draw(img)
+    if subsample is not None and centers.shape[0] > subsample:
+        idx = np.random.choice(centers.shape[0], subsample, replace=False)
+        centers = centers[idx]
+    for x, y in centers:
+        draw.ellipse(
+            [(x - radius, y - radius), (x + radius, y + radius)], fill=color
+        )
+    return img
