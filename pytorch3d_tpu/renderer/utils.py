@@ -222,3 +222,29 @@ def ndc_grid_sample_packed(
         + fetch(x0, y0 + 1) * (1 - wx) * wy
         + fetch(x0 + 1, y0 + 1) * wx * wy
     )
+
+
+class TensorAccessor:
+    """Accessor for one batch element of a TensorProperties object
+    (reference renderer/utils.py:27). JAX arrays are immutable, so
+    attribute WRITES create new arrays on the owner via .at[].set."""
+
+    def __init__(self, class_object, index) -> None:
+        self.__dict__["class_object"] = class_object
+        self.__dict__["index"] = index
+
+    def __getattr__(self, name: str):
+        full = getattr(self.__dict__["class_object"], name)
+        if isinstance(full, jnp.ndarray) and full.ndim > 0:
+            return full[self.__dict__["index"]]
+        return full
+
+    def __setattr__(self, name: str, value) -> None:
+        obj = self.__dict__["class_object"]
+        full = getattr(obj, name, None)
+        if isinstance(full, jnp.ndarray) and full.ndim > 0:
+            setattr(
+                obj, name, full.at[self.__dict__["index"]].set(value)
+            )
+        else:
+            setattr(obj, name, value)
