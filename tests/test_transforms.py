@@ -264,3 +264,103 @@ class TestSymeig3x3:
 
         g = jax.grad(f)(jnp.asarray(np.random.RandomState(0).randn(2, 3, 3), jnp.float32))
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestRotationEdgeCases:
+    """Singularity / near-singularity behavior of the rotation and
+    SE(3)/SO(3) conversions (the reference's test_so3/test_se3 edge
+    scenarios, re-derived): angles near 0, near pi, exactly pi, and
+    gimbal-lock eulers."""
+
+    def _compare_with_reference_log(self, R):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from reference_compat import import_reference
+
+        ref = import_reference()
+        if ref is None:
+            return
+        import torch
+
+        from pytorch3d.transforms import so3_log_map as ref_log
+
+        ours = np.asarray(so3_log_map(jnp.asarray(R)))
+        want = ref_log(torch.from_numpy(np.asarray(R))).numpy()
+        # log is unique up to 2*pi*k flips of axis at pi; compare the
+        # induced rotations instead of raw vectors
+        R_ours = np.asarray(so3_exp_map(jnp.asarray(ours)))
+        R_want = np.asarray(so3_exp_map(jnp.asarray(want)))
+        np.testing.assert_allclose(R_ours, R_want, atol=1e-4)
+
+    def test_so3_log_near_pi(self):
+        axis = np.array([1.0, 2.0, -1.0], np.float32)
+        axis /= np.linalg.norm(axis)
+        for angle in [np.pi - 1e-3, np.pi - 1e-5]:
+            v = (axis * angle)[None]
+            R = so3_exp_map(jnp.asarray(v))
+            log = so3_log_map(R)
+            R2 = so3_exp_map(log)
+            np.testing.assert_allclose(
+                np.asarray(R), np.asarray(R2), atol=1e-3
+            )
+            self._compare_with_reference_log(np.asarray(R))
+
+    def test_so3_log_tiny_angle_grad_finite(self):
+        v = jnp.asarray([[1e-8, -1e-8, 1e-8]])
+
+        def f(v):
+            return jnp.sum(so3_log_map(so3_exp_map(v)) ** 2)
+
+        g = jax.grad(f)(v)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_axis_angle_pi_exact(self):
+        # rotation by exactly pi about each principal axis
+        for ax in np.eye(3, dtype=np.float32):
+            aa = jnp.asarray((ax * np.pi)[None])
+            R = axis_angle_to_matrix(aa)
+            # R should be symmetric with trace -1 (angle pi)
+            np.testing.assert_allclose(
+                np.asarray(R[0]), np.asarray(R[0]).T, atol=1e-5
+            )
+            np.testing.assert_allclose(float(jnp.trace(R[0])), -1.0, atol=1e-5)
+            back = matrix_to_axis_angle(R)
+            R2 = axis_angle_to_matrix(back)
+            np.testing.assert_allclose(
+                np.asarray(R), np.asarray(R2), atol=1e-4
+            )
+
+    def test_quaternion_double_cover(self):
+        q = random_quaternions(8, key=jax.random.PRNGKey(0))
+        Rq = quaternion_to_matrix(q)
+        Rnq = quaternion_to_matrix(-q)
+        np.testing.assert_allclose(
+            np.asarray(Rq), np.asarray(Rnq), atol=1e-5
+        )
+        # matrix_to_quaternion returns the representative with w >= 0
+        back = matrix_to_quaternion(Rq)
+        assert (np.asarray(back[:, 0]) >= -1e-6).all()
+
+    def test_euler_gimbal_lock(self):
+        # middle angle = pi/2 (gimbal lock for XYZ)
+        angles = jnp.asarray([[0.3, np.pi / 2, -0.2]])
+        R = euler_angles_to_matrix(angles, "XYZ")
+        back = matrix_to_euler_angles(R, "XYZ")
+        R2 = euler_angles_to_matrix(back, "XYZ")
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R2), atol=1e-4)
+
+    def test_se3_log_near_pi_rotation(self):
+        axis = np.array([0.0, 1.0, 0.0], np.float32)
+        v = np.concatenate([[0.2, -0.1, 0.3], axis * (np.pi - 1e-4)])[None]
+        T = se3_exp_map(jnp.asarray(v.astype(np.float32)))
+        log = se3_log_map(T)
+        T2 = se3_exp_map(log)
+        np.testing.assert_allclose(np.asarray(T), np.asarray(T2), atol=1e-3)
+
+    def test_rotation_6d_degenerate_input(self):
+        # nearly-parallel 6D input still yields a valid rotation
+        d6 = jnp.asarray([[1.0, 0.0, 0.0, 1.0 + 1e-6, 1e-7, 0.0]])
+        R = rotation_6d_to_matrix(d6)
+        RtR = np.asarray(R[0]) @ np.asarray(R[0]).T
+        np.testing.assert_allclose(RtR, np.eye(3), atol=1e-4)
