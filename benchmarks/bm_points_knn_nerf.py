@@ -72,12 +72,14 @@ def bench_knn(N=100_000, M=100_000, D=3, K=8):
     ]
 
 
-def bench_nerf_step(n_rays=4096, n_pts=64, dtype=None):
+def bench_nerf_step(n_rays=4096, n_pts=64, dtype=None, mixed=False):
     """One jitted coarse+fine NeRF train step (the project-nerf hot path;
     reference baseline 0.18 s/it on Quadro GP100, projects/nerf/README).
 
     dtype=jnp.bfloat16 runs the MLPs with bf16 activations and fp32
-    params (one MXU pass per matmul instead of fp32's multi-pass)."""
+    params (one MXU pass per matmul instead of fp32's multi-pass);
+    mixed=True additionally casts the params to bf16 for fwd/bwd with
+    fp32 masters (make_nerf_train_step compute_dtype)."""
     import optax
 
     from pytorch3d_tpu.models import RadianceFieldRenderer
@@ -107,9 +109,15 @@ def bench_nerf_step(n_rays=4096, n_pts=64, dtype=None):
     params = model.init(jax.random.PRNGKey(1), cams, image=image, key=key)
     optimizer = optax.adam(5e-4)
     opt_state = optimizer.init(params)
-    step = make_nerf_train_step(model, optimizer)
+    step = make_nerf_train_step(
+        model,
+        optimizer,
+        compute_dtype=jnp.bfloat16 if mixed else None,
+    )
 
     tag = "_bf16" if dtype == jnp.bfloat16 else ""
+    if mixed:
+        tag += "_mixed"
     name = f"nerf_step_{n_rays}rays_{2*n_pts}pts_mlp256x8{tag}"
     dt = time_fn(
         lambda: step(params, opt_state, cams, image, key),
@@ -133,6 +141,7 @@ def main(out="BENCH_GRID_ops.json"):
         bench_knn,
         bench_nerf_step,
         lambda: bench_nerf_step(dtype=jnp.bfloat16),
+        lambda: bench_nerf_step(dtype=jnp.bfloat16, mixed=True),
     ):
         try:
             r = fn()

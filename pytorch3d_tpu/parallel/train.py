@@ -30,6 +30,7 @@ def make_nerf_train_step(
     model,
     optimizer,
     mesh: Optional[Mesh] = None,
+    compute_dtype=None,
 ) -> Callable:
     """Build a jitted (optionally mesh-sharded) NeRF train step.
 
@@ -42,6 +43,11 @@ def make_nerf_train_step(
         model: RadianceFieldRenderer (flax module).
         optimizer: optax GradientTransformation.
         mesh: optional jax.sharding.Mesh with axes ("dp", "rays").
+        compute_dtype: optional dtype (e.g. jnp.bfloat16) for MIXED
+            PRECISION: the fp32 master params are cast to this dtype for
+            the forward/backward pass (one MXU pass per matmul instead
+            of fp32's multi-pass), gradients are cast back to fp32, and
+            the optimizer updates the fp32 masters.
 
     Returns:
         step(params, opt_state, cameras, image, key) ->
@@ -52,18 +58,33 @@ def make_nerf_train_step(
         NamedSharding(mesh, P("dp", "rays")) if mesh is not None else None
     )
 
+    def _cast(tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
     def loss_fn(params, cameras, image, key):
+        if compute_dtype is not None:
+            params = _cast(params, compute_dtype)
         out, metrics = model.apply(
             params, cameras, image=image, training=True, key=key,
             ray_sharding=ray_sharding,
         )
         loss = metrics["mse_coarse"] + metrics["mse_fine"]
-        return loss, metrics
+        return jnp.asarray(loss, jnp.float32), jax.tree_util.tree_map(
+            lambda m: jnp.asarray(m, jnp.float32), metrics
+        )
 
     def step(params, opt_state, cameras, image, key):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, cameras, image, key
         )
+        if compute_dtype is not None:
+            # gradients come back in compute_dtype; update fp32 masters
+            grads = _cast(grads, jnp.float32)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, params, updates

@@ -249,3 +249,43 @@ class TestDistributedHelpers:
         from pytorch3d_tpu.parallel import maybe_initialize_distributed
 
         assert maybe_initialize_distributed() is False
+
+
+class TestMixedPrecisionStep:
+    """make_nerf_train_step(compute_dtype=bf16): fp32 masters, bf16
+    forward/backward, fp32 loss; converges like the fp32 step."""
+
+    def test_bf16_step_trains(self):
+        import optax
+
+        from pytorch3d_tpu.models import RadianceFieldRenderer
+        from pytorch3d_tpu.parallel import make_nerf_train_step
+        from pytorch3d_tpu.renderer import (
+            FoVPerspectiveCameras,
+            look_at_view_transform,
+        )
+
+        model = RadianceFieldRenderer(
+            image_width=16, image_height=16, n_pts_per_ray=4,
+            n_pts_per_ray_fine=4, n_rays_per_image=16,
+            min_depth=0.5, max_depth=4.0, n_hidden_neurons_xyz=16,
+            n_hidden_neurons_dir=8, n_layers_xyz=2, append_xyz=(1,),
+        )
+        R, T = look_at_view_transform(2.7, 20.0, 30.0)
+        cams = FoVPerspectiveCameras.create(R=R, T=T, znear=0.5, zfar=10.0)
+        image = jnp.ones((1, 16, 16, 3)) * 0.5
+        key = jax.random.PRNGKey(0)
+        params = model.init(jax.random.PRNGKey(1), cams, image=image, key=key)
+        opt = optax.adam(1e-2)
+        st = opt.init(params)
+        step = make_nerf_train_step(model, opt, compute_dtype=jnp.bfloat16)
+        losses = []
+        for i in range(12):
+            key, sub = jax.random.split(key)
+            params, st, metrics = step(params, st, cams, image, sub)
+            losses.append(float(metrics["loss"]))
+        # masters stay fp32
+        leaf = jax.tree_util.tree_leaves(params)[0]
+        assert leaf.dtype == jnp.float32
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
