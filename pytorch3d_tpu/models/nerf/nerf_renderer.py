@@ -30,6 +30,10 @@ class RadianceFieldRenderer(nn.Module):
     image_height: int
     n_pts_per_ray: int = 64
     n_pts_per_ray_fine: int = 64
+    # jax.checkpoint the field MLPs: recompute activations in the
+    # backward pass instead of holding them in HBM (trade FLOPs for
+    # memory at large ray batches)
+    remat: bool = False
     n_rays_per_image: int = 1024
     min_depth: float = 0.1
     max_depth: float = 100.0
@@ -46,7 +50,10 @@ class RadianceFieldRenderer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self._renderer_coarse_field = NeuralRadianceField(
+        field_cls = (
+            nn.remat(NeuralRadianceField) if self.remat else NeuralRadianceField
+        )
+        self._renderer_coarse_field = field_cls(
             n_harmonic_functions_xyz=self.n_harmonic_functions_xyz,
             n_harmonic_functions_dir=self.n_harmonic_functions_dir,
             n_hidden_neurons_xyz=self.n_hidden_neurons_xyz,
@@ -55,7 +62,7 @@ class RadianceFieldRenderer(nn.Module):
             append_xyz=self.append_xyz,
             dtype=self.dtype,
         )
-        self._renderer_fine_field = NeuralRadianceField(
+        self._renderer_fine_field = field_cls(
             n_harmonic_functions_xyz=self.n_harmonic_functions_xyz,
             n_harmonic_functions_dir=self.n_harmonic_functions_dir,
             n_hidden_neurons_xyz=self.n_hidden_neurons_xyz,

@@ -289,3 +289,46 @@ class TestMixedPrecisionStep:
         assert leaf.dtype == jnp.float32
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestRematOption:
+    def test_remat_identical_loss_and_grads(self):
+        from pytorch3d_tpu.models import RadianceFieldRenderer
+        from pytorch3d_tpu.renderer import (
+            FoVPerspectiveCameras,
+            look_at_view_transform,
+        )
+
+        R, T = look_at_view_transform(2.7, 20.0, 30.0)
+        cams = FoVPerspectiveCameras.create(R=R, T=T, znear=0.5, zfar=10.0)
+        img = jnp.ones((1, 16, 16, 3)) * 0.5
+        key = jax.random.PRNGKey(0)
+        results = {}
+        for remat in (False, True):
+            m = RadianceFieldRenderer(
+                image_width=16, image_height=16, n_pts_per_ray=4,
+                n_pts_per_ray_fine=4, n_rays_per_image=16, min_depth=0.5,
+                max_depth=4.0, n_hidden_neurons_xyz=16,
+                n_hidden_neurons_dir=8, n_layers_xyz=2, append_xyz=(1,),
+                remat=remat,
+            )
+            p = m.init(jax.random.PRNGKey(1), cams, image=img, key=key)
+
+            def loss(p, m=m):
+                _, metr = m.apply(
+                    p, cams, image=img, training=True,
+                    key=jax.random.PRNGKey(2),
+                )
+                return metr["mse_fine"] + metr["mse_coarse"]
+
+            l, g = jax.value_and_grad(loss)(p)
+            gsum = sum(
+                float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)
+            )
+            results[remat] = (float(l), gsum)
+        np.testing.assert_allclose(
+            results[False][0], results[True][0], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            results[False][1], results[True][1], rtol=1e-4
+        )
