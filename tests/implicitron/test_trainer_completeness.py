@@ -98,7 +98,7 @@ class TestReproConfigs:
             exp = Experiment(**cfg)
             assert exp.optimizer_factory is not None
             n += 1
-        assert n >= 14
+        assert n >= 40
 
     def test_repro_family_presence(self):
         names = set(os.listdir(CONFIGS))
