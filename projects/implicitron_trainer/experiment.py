@@ -160,8 +160,37 @@ class ImplicitronOptimizerFactory(Configurable):
         return optax.multi_transform(transforms, labels)
 
 
+def seed_all_random_engines(seed: int) -> None:
+    """Seed python/numpy RNGs (reference impl/utils.py:16; JAX randomness
+    is explicit-key based, so the seed feeds PRNGKey construction)."""
+    import random
+
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+class TrainingLoopBase(Configurable):
+    """Replaceable training-loop base (reference impl/training_loop.py:33)."""
+
+    def run(self, **kwargs):
+        raise NotImplementedError
+
+    @staticmethod
+    def load_stats(log_vars, exp_dir, resume: bool = True, **kwargs):
+        """Load (or create) the Stats for an experiment dir (reference
+        training_loop.py:56/:233)."""
+        if resume and exp_dir:
+            last = model_io.find_last_checkpoint(exp_dir)
+            if last is not None:
+                stats_path = model_io.get_stats_path(last)
+                loaded = model_io.load_stats(stats_path)
+                if loaded is not None:
+                    return loaded
+        return Stats(log_vars=list(log_vars))
+
+
 @dataclasses.dataclass
-class ImplicitronTrainingLoop(Configurable):
+class ImplicitronTrainingLoop(TrainingLoopBase):
     """Epoch loop with checkpointing (reference impl/training_loop.py:68)."""
 
     max_epochs: int = 10
@@ -225,6 +254,19 @@ class ImplicitronTrainingLoop(Configurable):
             else ()
         )
 
+        @jax.jit
+        def val_step(params, aux, image_rgb, camera, fg, key):
+            # MC-ray validation metrics (no gradient); full-image renders
+            # are the evaluator's job
+            return model.apply(
+                {"params": params, **aux},
+                image_rgb=image_rgb,
+                camera=camera,
+                fg_probability=fg,
+                evaluation_mode=EvaluationMode.TRAINING,
+                key=key,
+            )
+
         key = jax.random.PRNGKey(self.seed)
         for epoch in range(start_epoch, self.max_epochs):
             # scheduled module updates (voxel grid resolution changes,
@@ -270,6 +312,38 @@ class ImplicitronTrainingLoop(Configurable):
                 )
             stats.print(stat_set="train")
 
+            # validation epoch (reference training_loop.py:117 runs the
+            # val loader every `validation_interval` epochs)
+            try:
+                val_set = datasets["val"]
+            except (KeyError, TypeError, IndexError):
+                val_set = getattr(datasets, "val", None)
+            if (
+                val_set is not None
+                and len(val_set) > 0
+                and self.validation_interval > 0
+                and epoch % self.validation_interval == 0
+            ):
+                for frame in val_set:
+                    key, sub = jax.random.split(key)
+                    preds = val_step(
+                        train_params,
+                        aux,
+                        frame.image_rgb,
+                        frame.camera,
+                        frame.fg_probability,
+                        sub,
+                    )
+                    stats.update(
+                        {
+                            k: v
+                            for k, v in preds.items()
+                            if isinstance(v, jnp.ndarray) and v.ndim == 0
+                        },
+                        stat_set="val",
+                    )
+                stats.print(stat_set="val")
+
             if self.store_checkpoints and exp_dir:
                 model_io.safe_save_model(
                     {"params": train_params, **aux},
@@ -284,6 +358,53 @@ class ImplicitronTrainingLoop(Configurable):
         return {"params": train_params, **aux}, opt_state
 
 
+
+@dataclasses.dataclass
+class ImplicitronModelFactory(Configurable):
+    """Builds the implicitron model and optionally resumes its weights
+    (reference impl/model_factory.py:46 `ImplicitronModelFactory`).
+
+    __call__(exp_dir) returns the (un-initialized) flax model; use
+    `load_checkpoint(exp_dir, like)` to restore variables.
+    """
+
+    model_class_type: str = "GenericModel"
+    model_args: Optional[Dict[str, Any]] = None
+    resume: bool = True
+    resume_epoch: int = -1
+    force_resume: bool = False
+
+    def __call__(self, exp_dir: str = ""):
+        from pytorch3d_tpu.implicitron.models.base_model import (
+            ImplicitronModelBase,
+        )
+        from pytorch3d_tpu.implicitron.tools.config import registry
+
+        cls = registry.get(ImplicitronModelBase, self.model_class_type)
+        return cls(**(self.model_args or {}))
+
+    def checkpoint_path(self, exp_dir: str) -> Optional[str]:
+        """The checkpoint selected by resume/resume_epoch (reference
+        model_factory.py:81 region); None if not resuming / absent."""
+        if not (self.resume and exp_dir):
+            return None
+        if self.resume_epoch > 0:
+            path = model_io.get_checkpoint(exp_dir, self.resume_epoch)
+            if not os.path.exists(path):
+                if self.force_resume:
+                    raise FileNotFoundError(
+                        f"Cannot find checkpoint {path} (force_resume)."
+                    )
+                return None
+            return path
+        last = model_io.find_last_checkpoint(exp_dir)
+        if last is None and self.force_resume:
+            raise FileNotFoundError(
+                f"Cannot find any checkpoint in {exp_dir} (force_resume)."
+            )
+        return last
+
+
 @dataclasses.dataclass
 class Experiment(Configurable):
     """Top-level experiment (reference experiment.py:99)."""
@@ -296,6 +417,9 @@ class Experiment(Configurable):
     # the reference's data_source_ImplicitronDataSource_args; when set it
     # overrides dataset_args
     data_source_args: Optional[Dict[str, Any]] = None
+    # optional explicit model factory (reference model_factory.py); when
+    # set, overrides model_args/resume for model construction
+    model_factory_args: Optional[Dict[str, Any]] = None
     optimizer_factory: ImplicitronOptimizerFactory = None
     training_loop: ImplicitronTrainingLoop = None
 
@@ -353,7 +477,14 @@ class Experiment(Configurable):
             datasets = provider.get_dataset_map()
 
         print("[setup] building + initializing model...", flush=True)
-        model = GenericModel(**(self.model_args or {}))
+        factory = ImplicitronModelFactory(
+            **(
+                self.model_factory_args
+                if self.model_factory_args is not None
+                else {"model_args": self.model_args, "resume": self.resume}
+            )
+        )
+        model = factory(self.exp_dir)
         frame0 = datasets["train"][0]
         key = jax.random.PRNGKey(0)
         params = model.init(

@@ -142,3 +142,43 @@ class TestStatsPlot:
         out = str(tmp_path / "train_stats.png")
         s.plot_stats(plot_file=out)
         assert os.path.getsize(out) > 1000
+
+
+class TestModelFactory:
+    def test_builds_registered_model(self):
+        from projects.implicitron_trainer.experiment import (
+            ImplicitronModelFactory,
+        )
+        from pytorch3d_tpu.implicitron.models.generic_model import (
+            GenericModel,
+        )
+        from pytorch3d_tpu.implicitron.models.overfit_model import ModelDBIR
+
+        fac = ImplicitronModelFactory(
+            model_args={"render_image_width": 8, "render_image_height": 8}
+        )
+        m = fac("")
+        assert isinstance(m, GenericModel) and m.render_image_width == 8
+        fac2 = ImplicitronModelFactory(model_class_type="ModelDBIR")
+        assert isinstance(fac2(""), ModelDBIR)
+
+    def test_checkpoint_selection(self, tmp_path):
+        from projects.implicitron_trainer.experiment import (
+            ImplicitronModelFactory,
+        )
+        from pytorch3d_tpu.implicitron.tools import model_io
+
+        fac = ImplicitronModelFactory(resume=True)
+        assert fac.checkpoint_path(str(tmp_path)) is None
+        with np.testing.assert_raises(FileNotFoundError):
+            ImplicitronModelFactory(
+                resume=True, force_resume=True
+            ).checkpoint_path(str(tmp_path))
+        # write a checkpoint and select it by epoch
+        model_io.safe_save_model({"w": jnp.ones(2)}, None, None,
+                                 str(tmp_path), 3)
+        assert fac.checkpoint_path(str(tmp_path)) is not None
+        by_epoch = ImplicitronModelFactory(
+            resume=True, resume_epoch=3
+        ).checkpoint_path(str(tmp_path))
+        assert by_epoch and by_epoch.endswith("model_epoch_00000003")
