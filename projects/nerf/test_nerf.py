@@ -93,9 +93,9 @@ def main():
     if last is None:
         raise ValueError(f"No checkpoint found in {args.exp_dir}!")
     print(f"Loading checkpoint {last}.")
-    params, _, _ = model_io.load_model(last, like={"params": params})
-    if isinstance(params, dict) and "params" in params and "opt_state" not in params:
-        pass
+    # bare restore (nested dicts) — apply() accepts plain dicts, and the
+    # optimizer state is not needed for inference
+    params, _, _ = model_io.load_model(last)
 
     @jax.jit
     def render_full(params, camera, image):

@@ -13,7 +13,6 @@ from .data_loader_map_provider import SequenceDataLoaderMapProvider
 from .dataset_base import DatasetMap, ListDataset
 
 
-@dataclasses.dataclass
 class DataSourceBase(ReplaceableBase):
     """Replaceable base providing datasets + dataloaders (reference
     data_source.py:21)."""
@@ -22,7 +21,8 @@ class DataSourceBase(ReplaceableBase):
         raise NotImplementedError()
 
 
-class ImplicitronDataSource(Configurable):
+@dataclasses.dataclass
+class ImplicitronDataSource(Configurable, DataSourceBase):
     """Encapsulates dataset map + data loader construction (reference :44)."""
 
     dataset_map_provider_class_type: str = "RenderedMeshDatasetMapProvider"
