@@ -61,6 +61,13 @@ class GenericModel(nn.Module, ImplicitronModelBase):
     renderer_args: Optional[Dict[str, Any]] = None
     implicit_function_class_type: str = "NeuralRadianceFieldImplicitFunction"
     implicit_function_args: Optional[Dict[str, Any]] = None
+    # weight sharing / heterogeneous passes (reference overfit_model.py:152):
+    # share_implicit_function_across_passes reuses ONE implicit function
+    # (same parameters) for every pass; coarse_implicit_function_* give
+    # the FIRST pass its own architecture.
+    share_implicit_function_across_passes: bool = False
+    coarse_implicit_function_class_type: Optional[str] = None
+    coarse_implicit_function_args: Optional[Dict[str, Any]] = None
     loss_weights: Optional[Dict[str, float]] = None
 
     # view pooling: sample per-point features from source views (NeRFormer /
@@ -91,10 +98,31 @@ class GenericModel(nn.Module, ImplicitronModelBase):
         fn_cls = registry.get(
             ImplicitFunctionBase, self.implicit_function_class_type
         )
-        self._implicit_functions = [
-            fn_cls(**(self.implicit_function_args or {}), name=f"implicit_function_{i}")
-            for i in range(self.num_passes)
-        ]
+        if self.share_implicit_function_across_passes:
+            shared = fn_cls(
+                **(self.implicit_function_args or {}),
+                name="implicit_function_0",
+            )
+            self._implicit_functions = [shared] * self.num_passes
+        else:
+            def make_fn(i):
+                if i == 0 and self.coarse_implicit_function_class_type:
+                    coarse_cls = registry.get(
+                        ImplicitFunctionBase,
+                        self.coarse_implicit_function_class_type,
+                    )
+                    return coarse_cls(
+                        **(self.coarse_implicit_function_args or {}),
+                        name="implicit_function_0",
+                    )
+                return fn_cls(
+                    **(self.implicit_function_args or {}),
+                    name=f"implicit_function_{i}",
+                )
+
+            self._implicit_functions = [
+                make_fn(i) for i in range(self.num_passes)
+            ]
         if self.view_pooler_enabled:
             from .feature_extractor.resnet_feature_extractor import (
                 ResNetFeatureExtractor,

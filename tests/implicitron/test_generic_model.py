@@ -428,3 +428,74 @@ class TestViewPooledGenericModel:
             evaluation_mode=EvaluationMode.EVALUATION,
         )
         assert preds["images_render"].shape == (1, 8, 8, 3)
+
+
+class TestPassSharing:
+    """share_implicit_function_across_passes + heterogeneous coarse pass
+    (reference overfit_model.py:152-161)."""
+
+    def _common(self):
+        return dict(
+            render_image_width=8, render_image_height=8, chunk_size_grid=0,
+            raysampler_args=dict(
+                n_pts_per_ray_training=4, n_pts_per_ray_evaluation=4,
+                n_rays_per_image_sampled_from_mask=8, scene_extent=3.0,
+            ),
+            implicit_function_args=dict(
+                n_hidden_neurons_xyz=8, n_hidden_neurons_dir=8,
+                n_layers_xyz=2, append_xyz=(1,),
+            ),
+        )
+
+    def test_shared_weights(self):
+        cams, img, fg = _inputs()
+        img = img[:, :8, :8]
+        fg = fg[:, :8, :8]
+        model = GenericModel(
+            num_passes=2,
+            share_implicit_function_across_passes=True,
+            **self._common(),
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), image_rgb=img, camera=cams,
+            fg_probability=fg, evaluation_mode=EvaluationMode.TRAINING,
+        )
+        assert "implicit_function_0" in params["params"]
+        assert "implicit_function_1" not in params["params"]
+        preds = model.apply(
+            params, image_rgb=img, camera=cams, fg_probability=fg,
+            evaluation_mode=EvaluationMode.TRAINING,
+        )
+        assert np.isfinite(float(preds["objective"]))
+
+    def test_heterogeneous_coarse_pass(self):
+        cams, img, fg = _inputs()
+        img = img[:, :8, :8]
+        fg = fg[:, :8, :8]
+        model = GenericModel(
+            num_passes=2,
+            coarse_implicit_function_class_type=(
+                "NeuralRadianceFieldImplicitFunction"
+            ),
+            coarse_implicit_function_args=dict(
+                n_hidden_neurons_xyz=4, n_hidden_neurons_dir=4,
+                n_layers_xyz=1, append_xyz=(),
+            ),
+            **self._common(),
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), image_rgb=img, camera=cams,
+            fg_probability=fg, evaluation_mode=EvaluationMode.TRAINING,
+        )
+        s0 = jax.tree_util.tree_structure(
+            params["params"]["implicit_function_0"]
+        )
+        s1 = jax.tree_util.tree_structure(
+            params["params"]["implicit_function_1"]
+        )
+        assert str(s0) != str(s1)
+        preds = model.apply(
+            params, image_rgb=img, camera=cams, fg_probability=fg,
+            evaluation_mode=EvaluationMode.TRAINING,
+        )
+        assert np.isfinite(float(preds["objective"]))
