@@ -48,6 +48,21 @@ _TILE_W = 128  # pixel-tile cols (one full lane dim)
 import os as _os
 
 _UNROLL = int(_os.environ.get("P3D_RASTER_UNROLL", "4"))
+# Tile-recentred affine edge functions (PERF_ANALYSIS.md headroom #1).
+# w_i = (e_center_i + dx*B_i + dy*C_i) * inv_area with ALL coefficients
+# (premultiplied by inv_area) computed subtract-first on the scalar unit
+# at the TILE CENTER, so the per-pixel work is 2 vector FMAs per
+# barycentric (6 total) instead of ~18 ops. Unlike the global affine
+# form (A + B*px + C*py, measured 4e-4 z error at ico2/128²), the
+# recentred form's cancellation magnitude is bounded by the tile
+# half-extent, not the pixel-to-vertex distance, so it is at least as
+# precise as the vertex-centered form whenever faces are larger than a
+# tile and within ~1 decimal digit of it for sub-tile faces (measured:
+# ≤4e-4 relative z/bary error on 0.15% of an ico2/128² render's pixels,
+# the rest bit-identical — see TestAffineEdgeMode).
+# Experimental: pix_to_face may differ from the XLA oracle at pixels
+# within fp rounding of an edge (coverage ties), so it is opt-in.
+_AFFINE = _os.environ.get("P3D_RASTER_AFFINE", "0") == "1"
 _CHUNK = 1024  # faces per streamed SMEM chunk (shared by select + grad)
 _MFT_HARD_CAP = 32768  # absolute per-tile face-list capacity (32 chunks)
 
@@ -243,6 +258,25 @@ def _pixel_ndc(n_tx: int, image_size, tile):
     return px, py
 
 
+def _tile_center_ndc(n_tx: int, image_size, tile):
+    """Scalar NDC coords of the current grid tile's center pixel.
+
+    The same affine map as _pixel_ndc evaluated at the fractional center
+    (tile_h-1)/2, (tile_w-1)/2 — pure scalar-unit arithmetic."""
+    H, W = image_size
+    tile_h, tile_w = tile
+    t = pl.program_id(0)
+    ty = t // n_tx
+    tx = t % n_tx
+    rows_c = ty.astype(jnp.float32) * tile_h + (tile_h - 1) / 2.0
+    cols_c = tx.astype(jnp.float32) * tile_w + (tile_w - 1) / 2.0
+    ns_y = 2.0 * max(H / W, 1.0)
+    ns_x = 2.0 * max(W / H, 1.0)
+    pcy = -(ns_y / 2.0) + (ns_y * (H - 1 - rows_c) + ns_y / 2.0) / H
+    pcx = -(ns_x / 2.0) + (ns_x * (W - 1 - cols_c) + ns_x / 2.0) / W
+    return pcx, pcy
+
+
 def _fine_kernel(
     fv_ref,  # (9, CH) coord-major face-chunk in SMEM
     ids_ref,  # (1, CH)
@@ -269,6 +303,10 @@ def _fine_kernel(
     CH = fv_ref.shape[1]
     c = pl.program_id(1)
     px, py = _pixel_ndc(n_tx, image_size, tile)
+    if _AFFINE:
+        pcx, pcy = _tile_center_ndc(n_tx, image_size, tile)
+        dxp = px - pcx  # tile-local pixel offsets, |dx| <= half tile
+        dyp = py - pcy
 
     inf_tile = jnp.full((tile_h, tile_w), jnp.inf, jnp.float32)
     neg1_tile = jnp.full((tile_h, tile_w), -1, jnp.int32)
@@ -317,12 +355,25 @@ def _fine_kernel(
         d12y = v0y - v2y
         d20x = v1x - v0x
         d20y = v1y - v0y
-        e0 = (px - v1x) * d01y - (py - v1y) * d01x
-        e1 = (px - v2x) * d12y - (py - v2y) * d12x
-        e2 = (px - v0x) * d20y - (py - v0y) * d20x
-        w0 = e0 * inv_area
-        w1 = e1 * inv_area
-        w2 = e2 * inv_area
+        if _AFFINE:
+            # recentred affine form: all coefficients (premultiplied by
+            # inv_area) on the scalar unit; 2 vector FMAs per w.
+            a0 = ((pcx - v1x) * d01y - (pcy - v1y) * d01x) * inv_area
+            a1 = ((pcx - v2x) * d12y - (pcy - v2y) * d12x) * inv_area
+            a2 = ((pcx - v0x) * d20y - (pcy - v0y) * d20x) * inv_area
+            b0, c0 = d01y * inv_area, -d01x * inv_area
+            b1, c1 = d12y * inv_area, -d12x * inv_area
+            b2, c2 = d20y * inv_area, -d20x * inv_area
+            w0 = (a0 + dxp * b0) + dyp * c0
+            w1 = (a1 + dxp * b1) + dyp * c1
+            w2 = (a2 + dxp * b2) + dyp * c2
+        else:
+            e0 = (px - v1x) * d01y - (py - v1y) * d01x
+            e1 = (px - v2x) * d12y - (py - v2y) * d12x
+            e2 = (px - v0x) * d20y - (py - v0y) * d20x
+            w0 = e0 * inv_area
+            w1 = e1 * inv_area
+            w2 = e2 * inv_area
         inside = (w0 > 0.0) & (w1 > 0.0) & (w2 > 0.0)
 
         if perspective_correct:

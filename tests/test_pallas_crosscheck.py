@@ -364,3 +364,53 @@ class TestHeuristicCapacity:
         tile = rmp._tile_for_k(8)
         mft = rmp._heuristic_mft(20480, (512, 512), tile)
         assert mft == 5120  # F // 4 regime
+
+
+class TestAffineEdgeMode:
+    """Tile-recentred affine edge functions (P3D_RASTER_AFFINE) vs the
+    vertex-centered default: selection may differ only at coverage ties
+    (pixels within fp rounding of an edge), fragments allclose where the
+    selection agrees."""
+
+    @pytest.fixture(autouse=True)
+    def _affine(self, monkeypatch):
+        jax.clear_caches()
+        monkeypatch.setattr(rmp, "_AFFINE", True)
+        yield
+        jax.clear_caches()
+
+    @pytest.mark.parametrize("blur,K", [(0.0, 1), (1e-4, 4)])
+    def test_selection_near_identical(self, blur, K, monkeypatch):
+        fv, valid = _sphere_faces()
+        idx_a = np.asarray(
+            rmp.rasterize_topk_pallas(fv, valid, (128, 128), blur, K)
+        )
+        jax.clear_caches()
+        monkeypatch.setattr(rmp, "_AFFINE", False)
+        idx_v = np.asarray(
+            rmp.rasterize_topk_pallas(fv, valid, (128, 128), blur, K)
+        )
+        agree = (idx_a == idx_v).mean()
+        assert agree > 0.999, f"affine selection diverged: {agree}"
+
+    def test_fragments_allclose_on_agreement(self, monkeypatch):
+        fv, valid = _sphere_faces()
+        pa, za, ba, da = map(
+            np.asarray,
+            rmp.rasterize_fragments_pallas(fv, valid, (128, 128), 1e-4, 2),
+        )
+        jax.clear_caches()
+        monkeypatch.setattr(rmp, "_AFFINE", False)
+        pv, zv, bv, dv = map(
+            np.asarray,
+            rmp.rasterize_fragments_pallas(fv, valid, (128, 128), 1e-4, 2),
+        )
+        m = pa == pv
+        assert m.mean() > 0.999
+        # affine mode's documented precision envelope: cancellation is
+        # bounded by the tile half-extent, costing ~4e-4 RELATIVE z/bary
+        # error on faces much smaller than a tile (rasterize_pallas.py
+        # _AFFINE note); dists use the exact px/py planes and are tighter.
+        np.testing.assert_allclose(za[m], zv[m], atol=1e-4)
+        np.testing.assert_allclose(ba[m], bv[m], atol=5e-4)
+        np.testing.assert_allclose(da[m], dv[m], atol=1e-6)
