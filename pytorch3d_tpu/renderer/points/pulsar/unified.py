@@ -51,9 +51,20 @@ class PulsarPointsRenderer:
     # ------------------------------------------------------------------ #
 
     def _extract_extrinsics(self, cameras, idx: int):
-        R = cameras.R[idx]  # (3, 3) row-vector world->view
-        T = cameras.T[idx]
-        C = -(T @ jnp.swapaxes(R, 0, 1))  # camera center
+        """PyTorch3D (R, T) -> pulsar-native camera pose.
+
+        PyTorch3D view coords are (+x left, +y up, +z forward); the
+        pulsar core is (+x right, ...).  A lone x flip is improper
+        (det -1), so — exactly like the reference's
+        PyTorch3D->OpenCV->pulsar chain (camera_conversions.py:101) —
+        we flip BOTH x and y (a proper rotation, view y now DOWN) and
+        compensate by flipping the rendered image vertically in
+        __call__ (reference unified.py renders upside-down through
+        this conversion and unflips at the end)."""
+        D = jnp.asarray([-1.0, -1.0, 1.0], jnp.float32)
+        R = cameras.R[idx] * D[None, :]  # (3, 3) row-vector world->view
+        T = cameras.T[idx] * D
+        C = -(T @ jnp.swapaxes(R, 0, 1))  # camera center (flip-invariant)
         axis_angle = matrix_to_axis_angle(R)
         return C, axis_angle
 
@@ -87,9 +98,19 @@ class PulsarPointsRenderer:
                 sensor = 2.0 / f
             pp = getattr(cameras, "principal_point", None)
             if pp is not None:
+                # pulsar-native pixel offsets: negated because the
+                # extrinsic conversion flipped view x and y (the core
+                # adds these offsets in ITS convention; reference
+                # camera_conversions.py:186 cx = -(cx - w/2))
+                if not cameras.in_ndc():
+                    # reference: "Pulsar not currently working in screen
+                    # space" (tests/test_camera_pixels.py:154)
+                    raise ValueError(
+                        "PulsarPointsRenderer requires NDC-space cameras."
+                    )
                 pp = jnp.asarray(pp).reshape(-1, 2)
-                ppx = float(pp[min(idx, pp.shape[0] - 1), 0]) * 0.5 * W
-                ppy = float(pp[min(idx, pp.shape[0] - 1), 1]) * 0.5 * H
+                ppx = -float(pp[min(idx, pp.shape[0] - 1), 0]) * 0.5 * W
+                ppy = -float(pp[min(idx, pp.shape[0] - 1), 1]) * 0.5 * H
         return focal, sensor, ppx, ppy
 
     def _cam_params(self, cameras, idx: int, znear, zfar):
@@ -145,17 +166,19 @@ class PulsarPointsRenderer:
             cam_params = self._cam_params(
                 cameras, min(i, n_cams - 1), zn, zf
             )
-            images.append(
-                self.renderer(
-                    pts,
-                    cols,
-                    rad,
-                    cam_params,
-                    gamma[min(i, len(gamma) - 1)],
-                    max_depth=zf,
-                    min_depth=zn,
-                    bg_col=bg_col,
-                    mode=kwargs.get("mode", 0),
-                )
+            img = self.renderer(
+                pts,
+                cols,
+                rad,
+                cam_params,
+                gamma[min(i, len(gamma) - 1)],
+                max_depth=zf,
+                min_depth=zn,
+                bg_col=bg_col,
+                mode=kwargs.get("mode", 0),
             )
+            # the extrinsic conversion renders with view y DOWN (see
+            # _extract_extrinsics): unflip vertically, like reference
+            # unified.py does after its OpenCV-convention render
+            images.append(img[::-1])
         return jnp.stack(images)
