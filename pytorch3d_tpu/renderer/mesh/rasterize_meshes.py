@@ -418,6 +418,11 @@ def rasterize_meshes(
     if isinstance(image_size, int):
         image_size = (image_size, image_size)
     H, W = image_size
+    # reference rasterize_meshes.py parse_image_size semantics
+    if not (isinstance(H, int) and isinstance(W, int) and H > 0 and W > 0):
+        raise ValueError(
+            f"image_size must be positive ints, got {image_size!r}"
+        )
 
     verts_packed = meshes.verts_packed()
     faces_packed = meshes.faces_packed()

@@ -139,6 +139,11 @@ def rasterize_points(
     if isinstance(image_size, int):
         image_size = (image_size, image_size)
     H, W = image_size
+    # reference rasterize_points.py parse_image_size semantics
+    if not (isinstance(H, int) and isinstance(W, int) and H > 0 and W > 0):
+        raise ValueError(
+            f"image_size must be positive ints, got {image_size!r}"
+        )
     N = len(pointclouds)
     P = pointclouds.max_points
     pts_padded = pointclouds.points_padded()  # (N, P, 3)
