@@ -6,4 +6,5 @@ mirrors the reference file layout and exposes the public names.
 """
 
 from .obj_io import _load_mtl as load_mtl  # noqa: F401
+from .obj_io import make_material_atlas  # noqa: F401
 from .obj_io import make_mesh_texture_atlas  # noqa: F401

@@ -10,6 +10,7 @@ pipeline.
 from __future__ import annotations
 
 import os
+import warnings
 from collections import namedtuple
 from typing import List, Optional, Tuple
 
@@ -255,6 +256,70 @@ def load_obj(
     return verts, faces, aux
 
 
+def _atlas_cell_barycentrics(texture_size: int) -> np.ndarray:
+    """Centroid barycentrics of the (R, R) per-face atlas grid.
+
+    Each face's triangular texture space is split into R*R subtriangles
+    mapped to grid cells (reference mtl_io.py:140 `make_material_atlas`):
+    below the diagonal (x + y < R) the cell holds the lower subtriangle
+    with centroid ((x, y) + 1/3)/R; above it, the upper subtriangle of
+    the mirrored cell with centroid ((R-1-(x, y)) + 2/3)/R.  w0 tracks
+    x, w1 tracks y, w2 = 1 - w0 - w1 — matching the fold used by
+    TexturesAtlas.sample_textures so bake and lookup agree cell-by-cell.
+    """
+    R = texture_size
+    rng = np.arange(R)
+    Y, X = np.meshgrid(rng, rng, indexing="ij")
+    grid = np.stack([X, Y], axis=-1).astype(np.float64)  # (R, R, 2) xy
+    below = grid.sum(-1) < R
+    w01 = np.where(
+        below[..., None], (grid + 1.0 / 3.0) / R,
+        ((R - 1.0 - grid) + 2.0 / 3.0) / R,
+    )
+    bary = np.concatenate([w01, 1.0 - w01.sum(-1, keepdims=True)], axis=-1)
+    return bary.astype(np.float32)  # (R, R, 3)
+
+
+def _bilinear_sample_image(image: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    """Bilinear lookup of `image` (H, W, C) at uv in [0, 1]^2, with the
+    align_corners=True pixel mapping (u*(W-1), v*(H-1)) the reference uses
+    to match the SoftRas kernel (mtl_io.py:368)."""
+    H, W = image.shape[:2]
+    x = np.clip(uv[..., 0], 0.0, 1.0) * (W - 1)
+    y = np.clip(uv[..., 1], 0.0, 1.0) * (H - 1)
+    x0 = np.floor(x).astype(np.int64).clip(0, W - 1)
+    y0 = np.floor(y).astype(np.int64).clip(0, H - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    y1 = np.minimum(y0 + 1, H - 1)
+    wx1 = (x - x0).astype(image.dtype)[..., None]
+    wy1 = (y - y0).astype(image.dtype)[..., None]
+    wx0, wy0 = 1.0 - wx1, 1.0 - wy1
+    return (
+        image[y0, x0] * (wx0 * wy0)
+        + image[y1, x0] * (wx0 * wy1)
+        + image[y0, x1] * (wx1 * wy0)
+        + image[y1, x1] * (wx1 * wy1)
+    )
+
+
+def make_material_atlas(
+    image: np.ndarray, faces_verts_uvs: np.ndarray, texture_size: int
+) -> np.ndarray:
+    """Square per-face texture maps from one image + per-face uv triples.
+
+    Reference mtl_io.py:140 `make_material_atlas` (SoftRas formulation):
+    each cell of the (R, R) grid samples the texture at the centroid of
+    its subtriangle in barycentric space, bilinearly with
+    align_corners=True.  `image` is expected already y-flipped, exactly
+    as the reference's caller flips it (mtl_io.py:121).
+    Returns (F, R, R, C).
+    """
+    bary = _atlas_cell_barycentrics(texture_size)  # (R, R, 3)
+    # (F, 1, 1, 3, 2) * (R, R, 3, 1) -> (F, R, R, 2)
+    uv_pos = (faces_verts_uvs[:, None, None] * bary[..., None]).sum(-2)
+    return _bilinear_sample_image(np.asarray(image), uv_pos)
+
+
 def make_mesh_texture_atlas(
     material_colors,
     texture_images,
@@ -267,40 +332,47 @@ def make_mesh_texture_atlas(
 ) -> jnp.ndarray:
     """Bake a per-face RxR texture atlas (reference mtl_io.py:24).
 
+    Semantics match the reference: white base color, diffuse material
+    fill, GL_REPEAT/clamp uv handling (repeat only rewrites uvs when some
+    fall outside [0, 1], so a seam uv of exactly 1.0 is preserved),
+    y-flipped RGB image sampled at subtriangle centroids.
     Returns (F, R, R, 3).
     """
     F = faces_materials_idx.shape[0]
     R = texture_size
-    atlas = np.zeros((F, R, R, 3), np.float32)
-
-    # barycentric sampling grid on the unit triangle (reference :140)
-    rng = (np.arange(R) + 0.5) / R
-    gy, gx = np.meshgrid(rng, rng, indexing="ij")
-    # map the unit square onto the triangle: (u, v*(1-u))
-    u = gx
-    v = gy * (1.0 - gx)
-    w = 1.0 - u - v
-    bary = np.stack([w, u, v], axis=-1)  # (R, R, 3)
+    atlas = np.ones((F, R, R, 3), np.float32)
+    if not material_colors and not texture_images:
+        return jnp.asarray(atlas)
 
     for mi, name in enumerate(material_names):
+        props = (material_colors or {}).get(name, {})
+        if "diffuse_color" in props:
+            fsel = faces_materials_idx == mi
+            atlas[fsel] = np.asarray(
+                props["diffuse_color"], np.float32
+            ).reshape(1, 1, 1, 3)
+
+    faces_verts_uvs = np.asarray(verts_uvs)[faces_textures_idx]  # (F, 3, 2)
+    if texture_wrap == "repeat":
+        if (faces_verts_uvs > 1).any() or (faces_verts_uvs < 0).any():
+            warnings.warn(
+                "Texture UV coordinates outside the range [0, 1]. "
+                "The integer part will be ignored to form a repeating "
+                "pattern."
+            )
+            faces_verts_uvs = faces_verts_uvs % 1
+    elif texture_wrap == "clamp":
+        faces_verts_uvs = faces_verts_uvs.clip(0.0, 1.0)
+
+    for mi, name in enumerate(material_names):
+        if name not in (texture_images or {}):
+            continue
+        img = np.asarray(texture_images[name], np.float32)[..., :3]
+        img = img[::-1]  # reference flips the image y direction
         fsel = np.where(faces_materials_idx == mi)[0]
         if fsel.size == 0:
             continue
-        if name in (texture_images or {}):
-            img = np.asarray(texture_images[name])
-            H, W = img.shape[:2]
-            uvs = verts_uvs[faces_textures_idx[fsel]]  # (Fm, 3, 2)
-            if texture_wrap == "repeat":
-                uvs = uvs % 1.0
-            elif texture_wrap == "clamp":
-                uvs = uvs.clip(0.0, 1.0)
-            # sample uv at barycentric grid
-            pix_uv = np.einsum("rsk,fkc->frsc", bary, uvs)  # (Fm, R, R, 2)
-            x = (pix_uv[..., 0] * (W - 1)).clip(0, W - 1)
-            y = ((1.0 - pix_uv[..., 1]) * (H - 1)).clip(0, H - 1)
-            atlas[fsel] = img[y.round().astype(int), x.round().astype(int)]
-        elif material_colors and name in material_colors and "diffuse_color" in material_colors[name]:
-            atlas[fsel] = np.asarray(material_colors[name]["diffuse_color"])
+        atlas[fsel] = make_material_atlas(img, faces_verts_uvs[fsel], R)
     return jnp.asarray(atlas)
 
 

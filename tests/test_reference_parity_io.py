@@ -253,3 +253,72 @@ class TestSaveObjNormals:
                 np.array([[0, 1, 2]]),
                 normals=np.eye(3, dtype=np.float32),
             )
+
+
+class TestTextureAtlasParity:
+    """Bake parity for the SoftRas per-face atlas (reference mtl_io.py:24/:140)."""
+
+    def test_make_material_atlas_matches(self):
+        from pytorch3d.io.mtl_io import make_material_atlas as ref_mma
+
+        from pytorch3d_tpu.io.mtl_io import make_material_atlas as our_mma
+
+        rng = np.random.RandomState(0)
+        img = rng.rand(37, 53, 3).astype(np.float32)
+        uvs = rng.rand(40, 3, 2).astype(np.float32)
+        for R in (1, 2, 4, 8):
+            ref = ref_mma(torch.from_numpy(img), torch.from_numpy(uvs), R)
+            ours = our_mma(img, uvs, R)
+            np.testing.assert_allclose(t2n(ref), np.asarray(ours), atol=1e-5)
+
+    def test_make_mesh_texture_atlas_matches(self):
+        from pytorch3d.io.mtl_io import make_mesh_texture_atlas as ref_mmta
+
+        from pytorch3d_tpu.io.mtl_io import (
+            make_mesh_texture_atlas as our_mmta,
+        )
+
+        rng = np.random.RandomState(1)
+        F = 30
+        face_mat_names = np.array(["matA"] * 10 + ["matB"] * 10 + [""] * 10)
+        faces_uvs = rng.randint(0, 20, (F, 3)).astype(np.int64)
+        verts_uvs = rng.rand(20, 2).astype(np.float32)
+        props = {
+            "matA": {"diffuse_color": torch.tensor([0.2, 0.4, 0.6])},
+            "matB": {},
+        }
+        tex_imgs = {
+            "matB": torch.from_numpy(rng.rand(25, 31, 4).astype(np.float32))
+        }
+        ref = ref_mmta(
+            props, dict(tex_imgs), face_mat_names,
+            torch.from_numpy(faces_uvs), torch.from_numpy(verts_uvs),
+            6, "repeat",
+        )
+        fmi = np.array([0] * 10 + [1] * 10 + [-1] * 10)
+        our_props = {
+            "matA": {"diffuse_color": np.array([0.2, 0.4, 0.6], np.float32)},
+            "matB": {},
+        }
+        our_imgs = {"matB": np.asarray(tex_imgs["matB"])}
+        ours = our_mmta(
+            our_props, our_imgs, ["matA", "matB"], fmi, verts_uvs,
+            faces_uvs, 6, "repeat",
+        )
+        np.testing.assert_allclose(t2n(ref), np.asarray(ours), atol=1e-5)
+
+    def test_bake_sample_roundtrip_consistent(self):
+        """A face whose uvs span a constant-color image region must sample
+        back that color through TexturesAtlas — bake and lookup must share
+        the subtriangle parametrization."""
+        from pytorch3d_tpu.io.mtl_io import make_material_atlas as our_mma
+
+        img = np.zeros((16, 16, 3), np.float32)
+        img[:, :8] = [1.0, 0.0, 0.0]
+        img[:, 8:] = [0.0, 1.0, 0.0]
+        uvs = np.array([[[0.0, 0.0], [0.4, 0.0], [0.0, 0.4]]], np.float32)
+        atlas = np.asarray(our_mma(img, uvs, 8))
+        np.testing.assert_allclose(
+            atlas.reshape(-1, 3), np.tile([[1.0, 0.0, 0.0]], (64, 1)),
+            atol=1e-6,
+        )
