@@ -16,9 +16,13 @@ from .decoding_functions import (
 )
 from .voxel_grid import (
     CPFactorizedVoxelGrid,
+    CPFactorizedVoxelGridValues,
     FullResolutionVoxelGrid,
+    FullResolutionVoxelGridValues,
     VMFactorizedVoxelGrid,
+    VMFactorizedVoxelGridValues,
     VoxelGridBase,
+    VoxelGridValuesBase,
     VoxelGridModule,
     apply_resolution_change,
     crop_values,

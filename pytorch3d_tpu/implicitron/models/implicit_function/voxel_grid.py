@@ -191,6 +191,54 @@ VoxelGridValues = Dict[str, jnp.ndarray]  # each value: (n_grids, *shape)
 
 
 @dataclasses.dataclass
+class VoxelGridValuesBase:
+    """Typed view over the plain value dict (reference voxel_grid.py:43).
+
+    The canonical in-library representation is the plain dict (a JAX
+    pytree the optimizer/trainer transforms freely); these dataclasses
+    give reference-API users the same named-field containers.  Both are
+    accepted anywhere a `grid_values` argument appears.
+    """
+
+    def as_dict(self) -> VoxelGridValues:
+        return {
+            k: v
+            for k, v in dataclasses.asdict(self).items()
+            if v is not None
+        }
+
+
+@dataclasses.dataclass
+class FullResolutionVoxelGridValues(VoxelGridValuesBase):
+    voxel_grid: jnp.ndarray
+
+
+@dataclasses.dataclass
+class CPFactorizedVoxelGridValues(VoxelGridValuesBase):
+    vector_components_x: jnp.ndarray
+    vector_components_y: jnp.ndarray
+    vector_components_z: jnp.ndarray
+    basis_matrix: Optional[jnp.ndarray] = None
+
+
+@dataclasses.dataclass
+class VMFactorizedVoxelGridValues(VoxelGridValuesBase):
+    vector_components_x: jnp.ndarray
+    vector_components_y: jnp.ndarray
+    vector_components_z: jnp.ndarray
+    matrix_components_xy: jnp.ndarray
+    matrix_components_yz: jnp.ndarray
+    matrix_components_xz: jnp.ndarray
+    basis_matrix: Optional[jnp.ndarray] = None
+
+
+def _values_as_dict(grid_values) -> VoxelGridValues:
+    if isinstance(grid_values, VoxelGridValuesBase):
+        return grid_values.as_dict()
+    return grid_values
+
+
+@dataclasses.dataclass
 class VoxelGridBase(ReplaceableBase):
     """Stateless voxel-grid config; values live in plain dicts
     (reference voxel_grid.py:47 `VoxelGridBase`).
@@ -224,7 +272,7 @@ class VoxelGridBase(ReplaceableBase):
     ) -> jnp.ndarray:
         """Evaluate at world points (reference :87)."""
         points_local = locator.world_to_local_coords(points)
-        return self.evaluate_local(points_local, grid_values)
+        return self.evaluate_local(points_local, _values_as_dict(grid_values))
 
     def evaluate_local(
         self, points: jnp.ndarray, grid_values: VoxelGridValues
@@ -364,7 +412,10 @@ class FullResolutionVoxelGrid(VoxelGridBase):
     """Dense (features, width, height, depth) grid (reference :369).
     Values: {"voxel_grid": (G, F, W, H, D)}."""
 
+    values_type = FullResolutionVoxelGridValues
+
     def evaluate_local(self, points, grid_values):
+        grid_values = _values_as_dict(grid_values)
         recorded_shape = points.shape
         pts = points.reshape(points.shape[0], -1, points.shape[-1])
         out = interpolate_volume(
@@ -401,6 +452,7 @@ class CPFactorizedVoxelGrid(VoxelGridBase):
     (R, n_features) basis matrix. Values: vector_components_{x,y,z}
     of shape (G, R, res) [+ basis_matrix (G, R, F)]."""
 
+    values_type = CPFactorizedVoxelGridValues
     n_components: int = 24
     basis_matrix: bool = True
 
@@ -477,6 +529,7 @@ class VMFactorizedVoxelGrid(VoxelGridBase):
     matrix_components_{xy,yz,xz} (G, R, r0, r1),
     vector_components_{x,y,z} (G, R, r2) [+ basis_matrix]."""
 
+    values_type = VMFactorizedVoxelGridValues
     n_components: Optional[int] = None
     distribution_of_components: Optional[Tuple[int, int, int]] = None
     basis_matrix: bool = True

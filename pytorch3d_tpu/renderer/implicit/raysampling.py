@@ -276,8 +276,54 @@ class NDCMultinomialRaysampler(MultinomialRaysampler):
 
 
 # Reference aliases (renderer/implicit/raysampling.py:714-739)
-GridRaysampler = MultinomialRaysampler
-NDCGridRaysampler = NDCMultinomialRaysampler
+def GridRaysampler(
+    min_x: float,
+    max_x: float,
+    min_y: float,
+    max_y: float,
+    image_width: int,
+    image_height: int,
+    n_pts_per_ray: int,
+    min_depth: float,
+    max_depth: float,
+) -> "MultinomialRaysampler":
+    """DEPRECATED positional-arg factory (reference raysampling.py:499);
+    use MultinomialRaysampler."""
+    import warnings
+
+    warnings.warn(
+        "GridRaysampler is deprecated, use MultinomialRaysampler instead.",
+        PendingDeprecationWarning,
+    )
+    return MultinomialRaysampler(
+        min_x=min_x, max_x=max_x, min_y=min_y, max_y=max_y,
+        image_width=image_width, image_height=image_height,
+        n_pts_per_ray=n_pts_per_ray, min_depth=min_depth,
+        max_depth=max_depth,
+    )
+
+
+def NDCGridRaysampler(
+    image_width: int,
+    image_height: int,
+    n_pts_per_ray: int,
+    min_depth: float,
+    max_depth: float,
+) -> "NDCMultinomialRaysampler":
+    """DEPRECATED positional-arg factory (reference raysampling.py:536);
+    use NDCMultinomialRaysampler."""
+    import warnings
+
+    warnings.warn(
+        "NDCGridRaysampler is deprecated, use NDCMultinomialRaysampler "
+        "instead.",
+        PendingDeprecationWarning,
+    )
+    return NDCMultinomialRaysampler(
+        image_width=image_width, image_height=image_height,
+        n_pts_per_ray=n_pts_per_ray, min_depth=min_depth,
+        max_depth=max_depth,
+    )
 
 
 class MonteCarloRaysampler:

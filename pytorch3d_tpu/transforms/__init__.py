@@ -39,4 +39,4 @@ from .transform3d import (
 __all__ = [k for k in dir() if not k.startswith("_")]
 
 # deprecated reference alias (so3.py)
-from .so3 import so3_exp_map as so3_exponential_map  # noqa: E402
+from .so3 import so3_exponential_map  # noqa: E402

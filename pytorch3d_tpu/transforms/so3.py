@@ -94,6 +94,19 @@ def so3_exp_map(log_rot: jnp.ndarray, eps: float = 0.0001) -> jnp.ndarray:
     return _so3_exp_map(log_rot, eps=eps)[0]
 
 
+def so3_exponential_map(
+    log_rot: jnp.ndarray, eps: float = 0.0001
+) -> jnp.ndarray:
+    """DEPRECATED alias of so3_exp_map (reference so3.py:140)."""
+    import warnings
+
+    warnings.warn(
+        "so3_exponential_map is deprecated, use so3_exp_map instead.",
+        PendingDeprecationWarning,
+    )
+    return so3_exp_map(log_rot, eps)
+
+
 def so3_log_map(
     R: jnp.ndarray, eps: float = 0.0001, cos_bound: float = 1e-4
 ) -> jnp.ndarray:

@@ -379,3 +379,44 @@ class TestVoxelGridModuleContract:
         assert pts.shape == (4, 5, 6, 3)
         np.testing.assert_allclose(pts[0, 0, 0], [0.0, -2.0, -4.0])
         np.testing.assert_allclose(pts[-1, -1, -1], [2.0, 2.0, 2.0])
+
+
+class TestTypedGridValues:
+    """Typed value containers (reference voxel_grid.py:43/:364/:441/:572)
+    are accepted anywhere the plain dict is."""
+
+    def test_full_resolution_typed_values(self):
+        import numpy as np
+
+        from pytorch3d_tpu.implicitron.models.implicit_function import (
+            FullResolutionVoxelGrid,
+            FullResolutionVoxelGridValues,
+        )
+
+        grid = FullResolutionVoxelGrid(
+            n_features=2, resolution_changes={0: [4, 5, 6]}
+        )
+        assert grid.values_type is FullResolutionVoxelGridValues
+        rng = np.random.RandomState(0)
+        vals = {"voxel_grid": jnp.asarray(rng.rand(1, 2, 4, 5, 6), jnp.float32)}
+        typed = FullResolutionVoxelGridValues(**vals)
+        pts = jnp.asarray(rng.rand(1, 7, 3) * 2 - 1, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(grid.evaluate_local(pts, typed)),
+            np.asarray(grid.evaluate_local(pts, vals)),
+        )
+
+    def test_vm_typed_values_as_dict_drops_none(self):
+        from pytorch3d_tpu.implicitron.models.implicit_function import (
+            VMFactorizedVoxelGridValues,
+        )
+
+        z = jnp.zeros((1, 2, 3))
+        m = jnp.zeros((1, 2, 3, 3))
+        typed = VMFactorizedVoxelGridValues(
+            vector_components_x=z, vector_components_y=z,
+            vector_components_z=z, matrix_components_xy=m,
+            matrix_components_yz=m, matrix_components_xz=m,
+        )
+        d = typed.as_dict()
+        assert "basis_matrix" not in d and len(d) == 6
