@@ -38,7 +38,7 @@ class _SubsetDataset(DatasetBase):
         names = []
         for i in self._indices:
             fd = None
-            seq = self._base._rows[i][0]  # noqa: SLF001 (cheap metadata)
+            seq = self._base._annots[i].sequence_name  # noqa: SLF001
             if seq not in names:
                 names.append(seq)
         return names
@@ -48,7 +48,7 @@ class _SubsetDataset(DatasetBase):
 
     def sequence_indices_in_order(self, seq_name: str):
         for j, i in enumerate(self._indices):
-            if self._base._rows[i][0] == seq_name:  # noqa: SLF001
+            if self._base._annots[i].sequence_name == seq_name:  # noqa: SLF001
                 yield j
 
 
@@ -88,10 +88,7 @@ class SqlIndexDatasetMapProvider(DatasetMapProviderBase):
         with open(self.subset_list_file) as f:
             set_lists = json.load(f)
         # (sequence_name, frame_number) -> dataset row index
-        row_index = {
-            (r[0], int(r[1])): i
-            for i, r in enumerate(dataset._rows)  # noqa: SLF001
-        }
+        row_index = dataset._pair_index  # noqa: SLF001
 
         def subset(split: str) -> Optional[DatasetBase]:
             entries = set_lists.get(split)
