@@ -1,0 +1,1 @@
+"""ShapeNetCore dataset and render helpers (reference datasets/shapenet)."""

@@ -1,0 +1,1 @@
+"""Implicitron: configurable neural-rendering framework (reference pytorch3d/implicitron)."""

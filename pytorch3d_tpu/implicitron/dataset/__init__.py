@@ -1,3 +1,4 @@
+"""Implicitron dataset layer: FrameData, providers, loaders (reference implicitron/dataset)."""
 from .data_loader_map_provider import SceneBatchSampler, SequenceDataLoaderMapProvider
 from .data_source import ImplicitronDataSource
 from .dataset_base import DatasetBase, DatasetMap, ListDataset

@@ -1,0 +1,1 @@
+"""New-view-synthesis evaluation protocol (reference implicitron/evaluation)."""

@@ -1,0 +1,1 @@
+"""Image feature extractors (reference implicitron/models/feature_extractor)."""

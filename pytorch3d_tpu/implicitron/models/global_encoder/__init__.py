@@ -1,0 +1,1 @@
+"""Global / autodecoder encoders (reference implicitron/models/global_encoder)."""

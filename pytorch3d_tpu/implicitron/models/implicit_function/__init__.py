@@ -1,3 +1,4 @@
+"""Implicit functions: NeRF, SRN, IDR, voxel grids (reference implicitron/models/implicit_function)."""
 from .base import ImplicitFunctionBase
 from .idr_feature_field import IdrFeatureField
 from .neural_radiance_field import (

@@ -1,3 +1,4 @@
+"""Implicitron renderers: multipass EA, SDF, LSTM, ray samplers (reference implicitron/models/renderer)."""
 from .base import (
     BaseRenderer,
     EvaluationMode,

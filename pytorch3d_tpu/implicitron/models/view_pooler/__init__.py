@@ -1,0 +1,1 @@
+"""View pooling: sampling + aggregation of source-view features (reference implicitron/models/view_pooler)."""

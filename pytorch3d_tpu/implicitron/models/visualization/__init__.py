@@ -1,0 +1,1 @@
+"""Model visualization helpers (reference implicitron/models/visualization)."""

@@ -1,3 +1,4 @@
+"""Losses: chamfer, mesh regularizers, point-mesh distances (reference pytorch3d/loss)."""
 from .chamfer import chamfer_distance
 from .mesh_edge_loss import mesh_edge_loss
 from .mesh_laplacian_smoothing import mesh_laplacian_smoothing

@@ -1,3 +1,4 @@
+"""Model zoo entry points (NeRF project re-export)."""
 from .nerf.implicit_function import MLPWithInputSkips, NeuralRadianceField
 from .nerf.nerf_renderer import RadianceFieldRenderer
 

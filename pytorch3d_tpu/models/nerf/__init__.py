@@ -1,3 +1,4 @@
+"""NeRF model family: raysamplers, implicit MLP, renderer (reference projects/nerf)."""
 from .implicit_function import MLPWithInputSkips, NeuralRadianceField
 from .nerf_renderer import RadianceFieldRenderer
 from .raymarcher import EmissionAbsorptionNeRFRaymarcher

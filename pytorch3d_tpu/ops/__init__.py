@@ -1,3 +1,4 @@
+"""3D ops: knn, sampling, alignment, conversions, filtering (reference pytorch3d/ops)."""
 from .ball_query import ball_query
 from .cameras_alignment import corresponding_cameras_alignment
 from .cubify import cubify

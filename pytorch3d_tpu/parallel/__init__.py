@@ -1,3 +1,4 @@
+"""Multi-chip parallelism: meshes, shard_map rasterization, DDP steps (TPU-native; reference analog is DataParallel/Accelerate)."""
 from .distributed import (
     PerProcessLoader,
     local_shard_indices,

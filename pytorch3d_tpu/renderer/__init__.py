@@ -1,3 +1,4 @@
+"""Differentiable renderer: cameras, rasterizers, shaders, compositors, implicit (reference pytorch3d/renderer)."""
 from .blending import (
     BlendParams,
     hard_rgb_blend,

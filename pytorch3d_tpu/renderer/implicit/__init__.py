@@ -1,3 +1,4 @@
+"""Implicit/volume rendering: ray sampling, marching, harmonic embedding (reference renderer/implicit)."""
 from .harmonic_embedding import HarmonicEmbedding
 from .raymarching import AbsorptionOnlyRaymarcher, EmissionAbsorptionRaymarcher
 from .raysampling import (

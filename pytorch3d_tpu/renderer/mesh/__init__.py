@@ -1,3 +1,4 @@
+"""Mesh rasterization, shading, blending, textures, clipping (reference renderer/mesh)."""
 from .rasterize_meshes import rasterize_meshes
 from .rasterizer import (
     Fragments,

@@ -1,3 +1,4 @@
+"""Point rasterization and compositing (reference renderer/points)."""
 from .compositing import alpha_composite, norm_weighted_sum, weighted_sum
 from .compositor import AlphaCompositor, NormWeightedCompositor
 from .rasterize_points import rasterize_points, rasterize_points_python

@@ -1,3 +1,4 @@
+"""Pulsar sphere renderer + unified interface (reference renderer/points/pulsar)."""
 from .renderer import Renderer
 from .unified import PulsarPointsRenderer
 

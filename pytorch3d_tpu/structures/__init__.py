@@ -1,3 +1,4 @@
+"""Core data structures: Meshes, Pointclouds, Volumes (reference pytorch3d/structures)."""
 from .meshes import Meshes, join_meshes_as_batch, join_meshes_as_scene
 from .pointclouds import (
     Pointclouds,

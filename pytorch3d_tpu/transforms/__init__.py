@@ -1,3 +1,4 @@
+"""SE(3)/SO(3) transforms and rotation conversions (reference pytorch3d/transforms)."""
 from .math import acos_linear_extrapolation
 from .rotation_conversions import (
     axis_angle_to_matrix,

@@ -1,3 +1,4 @@
+"""Utility meshes and camera conversion helpers (reference pytorch3d/utils)."""
 from ..renderer.camera_conversions import (
     cameras_from_opencv_projection,
     pulsar_from_cameras_projection,
