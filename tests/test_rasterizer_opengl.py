@@ -7,6 +7,7 @@ the GL backend is replaced by a dedicated z-min Pallas kernel
 the XLA selection oracle.
 """
 
+import os
 import warnings
 
 import jax
@@ -181,3 +182,51 @@ class TestMeshRasterizerOpenGL:
                 warnings.simplefilter("always")
                 MeshRasterizerOpenGL(_cams(), rs)(ico_sphere(0))
             assert len(w) >= 1
+
+
+DATA = "/root/reference/tests/data"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(DATA), reason="reference goldens not available"
+)
+class TestReferenceSilhouetteGoldens:
+    """Binary pix_to_face masks vs the reference's shipped
+    test_rasterized_sphere[_zoom]_MeshRasterizer{,OpenGL}.png goldens
+    (reference tests/test_rasterizer.py:57-140)."""
+
+    def _mask(self, rast_cls, dist):
+        R, T = look_at_view_transform(dist, 0.0, 0.0)
+        cams = FoVPerspectiveCameras.create(R=R, T=T)
+        rs = RasterizationSettings(
+            image_size=512, blur_radius=0.0, faces_per_pixel=1
+        )
+        frags = rast_cls(cams, rs)(ico_sphere(5))
+        return np.asarray(frags.pix_to_face[0, ..., 0] >= 0)
+
+    @pytest.mark.parametrize(
+        "rast_cls,name",
+        [
+            (MeshRasterizer, "MeshRasterizer"),
+            (MeshRasterizerOpenGL, "MeshRasterizerOpenGL"),
+        ],
+    )
+    @pytest.mark.parametrize("zoom", [False, True])
+    def test_sphere_silhouette(self, rast_cls, name, zoom):
+        from PIL import Image
+
+        fname = (
+            f"test_rasterized_sphere_zoom_{name}.png"
+            if zoom
+            else f"test_rasterized_sphere_{name}.png"
+        )
+        ref = (
+            np.asarray(
+                Image.open(os.path.join(DATA, fname)).convert("L"),
+                np.float32,
+            )
+            / 255.0
+        ) > 0.5
+        got = self._mask(rast_cls, 20.0 if zoom else 2.7)
+        mismatch = (got != ref).mean()
+        assert mismatch < 2e-4, f"{fname}: mismatch frac {mismatch}"
