@@ -226,10 +226,33 @@ def expand_args_fields(some_class: type, *, _do_not_process=()) -> type:
             new_annotations[name] = ann
             if name in some_class.__dict__:
                 default = some_class.__dict__[name]
-                if isinstance(default, (list, dict, set)):
+                if isinstance(default, dataclasses.Field):
+                    # `x: T = field(...)` on a not-yet-dataclass body
+                    if default.default is not dataclasses.MISSING:
+                        new_defaults[name] = default.default
+                    elif default.default_factory is not dataclasses.MISSING:
+                        new_defaults[name] = _CallFactory(
+                            default.default_factory
+                        )
+                    else:
+                        new_defaults[name] = _MISSING_SENTINEL
+                elif isinstance(default, (list, dict, set)):
                     new_defaults[name] = _ValueFactory(default)
                 else:
                     new_defaults[name] = default
+            elif (
+                dataclasses.is_dataclass(some_class)
+                and name in some_class.__dataclass_fields__
+            ):
+                # already-a-dataclass: factory defaults live only in
+                # __dataclass_fields__ (dataclass strips the class attr)
+                f = some_class.__dataclass_fields__[name]
+                if f.default is not dataclasses.MISSING:
+                    new_defaults[name] = f.default
+                elif f.default_factory is not dataclasses.MISSING:
+                    new_defaults[name] = _CallFactory(f.default_factory)
+                else:
+                    new_defaults[name] = _MISSING_SENTINEL
             elif not hasattr(some_class, name):
                 new_defaults[name] = _MISSING_SENTINEL
 
@@ -243,7 +266,7 @@ def expand_args_fields(some_class: type, *, _do_not_process=()) -> type:
             setattr(
                 some_class, k, dataclasses.field(default_factory=v)
             )
-        elif isinstance(v, _ValueFactory):
+        elif isinstance(v, (_ValueFactory, _CallFactory)):
             setattr(
                 some_class, k, dataclasses.field(default_factory=v)
             )
@@ -284,6 +307,17 @@ class _ValueFactory:
         import copy
 
         return copy.deepcopy(self.value)
+
+
+class _CallFactory:
+    """Wraps a user default_factory so the setattr stage re-emits it as a
+    dataclasses.field(default_factory=...)."""
+
+    def __init__(self, fn) -> None:
+        self.fn = fn
+
+    def __call__(self):
+        return self.fn()
 
 
 def run_auto_creation(self) -> None:

@@ -613,13 +613,18 @@ def join_meshes_as_batch(meshes: List[Meshes], include_textures: bool = True) ->
     )
 
 
-def join_meshes_as_scene(meshes: Meshes, include_textures: bool = True) -> Meshes:
-    """Merge a batch of meshes into a single scene mesh (meshes.py:1721).
+def join_meshes_as_scene(meshes, include_textures: bool = True) -> Meshes:
+    """Merge a batch (or list) of meshes into a single scene mesh
+    (meshes.py:1721; a list is first joined as a batch like the reference).
 
     Vertex indices are offset by each mesh's packed offset; padding faces
     are dropped by compacting valid faces to the front (host-free, static
     capacity sum of per-mesh capacities).
     """
+    if isinstance(meshes, (list, tuple)):
+        meshes = join_meshes_as_batch(
+            list(meshes), include_textures=include_textures
+        )
     N, V, _ = meshes._verts_padded.shape
     F = meshes.max_faces
     verts = meshes.verts_packed()[None]  # (1, N*V, 3)

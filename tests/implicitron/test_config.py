@@ -120,3 +120,98 @@ class TestConfig:
 
         g = Garage(**get_default_args(Garage))
         assert isinstance(g.vehicle, Bike)
+
+
+class TestConfigScenarios:
+    """Scenario coverage mirroring reference tests/implicitron/test_config.py
+    (enum fields :585, pickle :624, optional replaceables :682, inheritance
+    :278, get_default_args isolation :916)."""
+
+    def test_enum_fields(self):
+        from dataclasses import dataclass
+        from enum import Enum
+
+        class Color(Enum):
+            RED = "red"
+            BLUE = "blue"
+
+        @dataclass
+        class WithEnum(Configurable):
+            color: Color = Color.RED
+            n: int = 3
+
+        args = get_default_args(WithEnum)
+        assert args["color"] is Color.RED
+        obj = WithEnum(**{**args, "color": Color.BLUE})
+        assert obj.color is Color.BLUE
+
+    def test_optional_replaceable_member(self):
+        from dataclasses import dataclass
+        from typing import Optional
+
+        class Pet2(ReplaceableBase):
+            pass
+
+        @registry.register
+        @dataclass
+        class Cat2(Pet2):
+            lives: int = 9
+
+        @dataclass
+        class Owner2(Configurable):
+            pet: Optional[Pet2] = None
+            pet_class_type: Optional[str] = "Cat2"
+
+            def __post_init__(self):
+                run_auto_creation(self)
+
+        args = get_default_args(Owner2)
+        assert "pet_Cat2_args" in args
+        assert isinstance(Owner2(**args).pet, Cat2)
+        args["pet_class_type"] = None
+        assert Owner2(**args).pet is None
+
+    def test_pickle_default_args(self):
+        import pickle
+
+        from pytorch3d_tpu.implicitron.models.renderer.multipass_ea import (
+            MultiPassEmissionAbsorptionRenderer,
+        )
+
+        args = get_default_args(MultiPassEmissionAbsorptionRenderer)
+        assert pickle.loads(pickle.dumps(args)) == args
+
+    def test_inheritance_extends_fields(self):
+        from dataclasses import dataclass
+
+        class Base3(ReplaceableBase):
+            pass
+
+        @registry.register
+        @dataclass
+        class Mid3(Base3):
+            a: int = 1
+
+        @registry.register
+        @dataclass
+        class Leaf3(Mid3):
+            b: int = 2
+
+        args = get_default_args(Leaf3)
+        assert args == {"a": 1, "b": 2}
+        assert registry.get(Base3, "Leaf3") is Leaf3
+
+    def test_get_default_args_isolation(self):
+        """Mutating a returned default dict must not leak into later calls
+        (reference test_get_default_args_readonly)."""
+        from dataclasses import dataclass, field
+        from typing import List
+
+        @dataclass
+        class WithList(Configurable):
+            xs: List[int] = field(default_factory=lambda: [1, 2])
+
+        a1 = get_default_args(WithList)
+        a1["xs"].append(99)
+        a2 = get_default_args(WithList)
+        assert a2["xs"] == [1, 2]
