@@ -69,12 +69,23 @@ def gouraud_shading(meshes, fragments, lights, cameras, materials) -> jnp.ndarra
     verts_colors = meshes.textures.verts_features_packed()
     vert_to_mesh_idx = meshes.verts_packed_to_mesh_idx()
 
-    # Broadcast per-mesh light/material params to per-vertex.
-    lights_pv = jax.tree_util.tree_map(
-        lambda x: x[vert_to_mesh_idx] if x is not None and x.shape[0] > 1 else x, lights
-    )
+    # Broadcast per-mesh light/camera/material params to per-vertex —
+    # the reference's gather_props(vert_to_mesh_idx) (shading.py:163).
+    n_meshes = len(meshes)
+
+    def gather(props):
+        if props is None or n_meshes == 1:
+            return props
+        return jax.tree_util.tree_map(
+            lambda x: x[vert_to_mesh_idx]
+            if hasattr(x, "ndim") and x.ndim > 0 and x.shape[0] == n_meshes
+            else x,
+            props,
+        )
+
     ambient, diffuse, specular = _apply_lighting(
-        verts, verts_normals, lights_pv, cameras, materials
+        verts, verts_normals, gather(lights), gather(cameras),
+        gather(materials),
     )
     verts_colors_shaded = verts_colors * (ambient + diffuse) + specular
     face_colors = verts_colors_shaded[faces]
