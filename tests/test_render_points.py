@@ -150,3 +150,43 @@ class TestPointsRenderer:
         g = jax.grad(loss)(v)
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestPointsGoldens:
+    """Renders vs the reference's shipped point goldens
+    (reference tests/test_render_points.py:54 test_simple_sphere)."""
+
+    def test_simple_pointcloud_sphere_golden(self):
+        import os
+
+        import pytest
+        from PIL import Image
+
+        from pytorch3d_tpu.utils import ico_sphere
+
+        golden = "/root/reference/tests/data/test_simple_pointcloud_sphere.png"
+        if not os.path.isfile(golden):
+            pytest.skip("reference goldens not available")
+        verts = np.array(ico_sphere(1).verts_padded())
+        verts[..., 0] += 0.2
+        verts[..., 1] += 0.2
+        pc = Pointclouds.create(
+            jnp.asarray(verts), features=jnp.ones_like(jnp.asarray(verts))
+        )
+        R, T = look_at_view_transform(2.7, 0.0, 0.0)
+        cams = FoVPerspectiveCameras.create(R=R, T=T)
+        renderer = PointsRenderer(
+            PointsRasterizer(
+                cams,
+                PointsRasterizationSettings(
+                    image_size=256, radius=5e-2, points_per_pixel=1
+                ),
+            ),
+            NormWeightedCompositor(),
+        )
+        rgb = np.asarray(renderer(pc))[0, ..., :3]
+        ref = (
+            np.asarray(Image.open(golden), np.float32)[..., :3] / 255.0
+        )
+        mad = np.abs(rgb - ref).mean()
+        assert mad < 0.01, f"points sphere: mad {mad}"
