@@ -1,0 +1,142 @@
+"""NeRF train-step breakdown + MFU experiment (run on real TPU).
+
+NEXT.md open item: the mlp256x8 grid row showed ~104 ms @4096 rays
+(fwd+bwd+opt, coarse+fine). This experiment separates the phases and
+variants so the remaining time is attributable:
+
+  * fwd loss only / grad only / full optax step,
+  * fp32 vs bf16 activations vs bf16-mixed params vs remat,
+  * ray-batch scaling (4096 -> 16384) to expose dispatch overhead,
+  * XLA cost-analysis flops -> achieved FLOP/s and MFU vs the v5e
+    bf16 MXU peak (197 TFLOP/s; fp32 matmuls lower to multi-pass bf16).
+
+Writes EXP_NERF.json. Usage: python -m benchmarks.exp_nerf
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from benchmarks.runner import time_fn
+
+BF16_PEAK = 197e12  # v5e MXU peak (bf16)
+
+
+def build(n_rays=4096, n_pts=64, dtype=None, remat=False):
+    from pytorch3d_tpu.models.nerf.nerf_renderer import RadianceFieldRenderer
+    from pytorch3d_tpu.renderer import (
+        FoVPerspectiveCameras,
+        look_at_view_transform,
+    )
+
+    model = RadianceFieldRenderer(
+        image_width=400,
+        image_height=400,
+        n_pts_per_ray=n_pts,
+        n_pts_per_ray_fine=n_pts,
+        n_rays_per_image=n_rays,
+        min_depth=2.0,
+        max_depth=6.0,
+        n_hidden_neurons_xyz=256,
+        n_hidden_neurons_dir=128,
+        n_layers_xyz=8,
+        remat=remat,
+        **({"dtype": dtype} if dtype is not None else {}),
+    )
+    R, T = look_at_view_transform(dist=4.0, elev=20.0, azim=30.0)
+    cams = FoVPerspectiveCameras.create(R=R, T=T, znear=0.5, zfar=10.0)
+    image = jnp.ones((1, 400, 400, 3), jnp.float32) * 0.5
+    key = jax.random.PRNGKey(0)
+    params = model.init(jax.random.PRNGKey(1), cams, image=image, key=key)
+    return model, params, cams, image, key
+
+
+def flops_of(fn, *args) -> float:
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def main():
+    rows = []
+
+    def emit(name, ms, flops=0.0, **kw):
+        row = {"name": name, "ms": round(ms, 3), **kw}
+        if flops:
+            row["tflops_per_s"] = round(flops / (ms / 1e3) / 1e12, 2)
+            row["mfu_vs_bf16_peak"] = round(
+                flops / (ms / 1e3) / BF16_PEAK, 4
+            )
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    for tag, kw in [
+        ("fp32", {}),
+        ("bf16", {"dtype": jnp.bfloat16}),
+        ("bf16_remat", {"dtype": jnp.bfloat16, "remat": True}),
+    ]:
+        for n_rays in (4096, 16384):
+            model, params, cams, image, key = build(n_rays=n_rays, **kw)
+
+            def loss_fn(p, k):
+                out, metrics = model.apply(
+                    p, cams, image=image, key=k, training=True
+                )
+                return metrics["mse_coarse"] + metrics["mse_fine"]
+
+            fwd = jax.jit(loss_fn)
+            f_fwd = flops_of(loss_fn, params, key)
+            emit(
+                f"fwd_{tag}_{n_rays}rays",
+                time_fn(lambda: fwd(params, key)) * 1e3,
+                f_fwd,
+            )
+
+            grad = jax.jit(jax.grad(loss_fn))
+            f_grad = flops_of(jax.grad(loss_fn), params, key)
+            emit(
+                f"grad_{tag}_{n_rays}rays",
+                time_fn(lambda: grad(params, key)) * 1e3,
+                f_grad,
+            )
+
+            optimizer = optax.adam(5e-4)
+            opt_state = optimizer.init(params)
+            g0 = grad(params, key)
+
+            def opt_only(p, s, g):
+                up, s2 = optimizer.update(g, s, p)
+                return optax.apply_updates(p, up), s2
+
+            optj = jax.jit(opt_only)
+            emit(
+                f"opt_{tag}_{n_rays}rays",
+                time_fn(lambda: optj(params, opt_state, g0)) * 1e3,
+            )
+
+    # full mixed-precision step for reference (matches the grid row)
+    from pytorch3d_tpu.parallel import make_nerf_train_step
+
+    model, params, cams, image, key = build(n_rays=4096)
+    optimizer = optax.adam(5e-4)
+    opt_state = optimizer.init(params)
+    step = make_nerf_train_step(model, optimizer, compute_dtype=jnp.bfloat16)
+    emit(
+        "full_step_mixed_4096rays",
+        time_fn(lambda: step(params, opt_state, cams, image, key)) * 1e3,
+    )
+
+    with open("EXP_NERF.json", "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
