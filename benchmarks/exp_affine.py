@@ -7,10 +7,11 @@ fresh subprocess and compares:
 
   * select-kernel fwd time,
   * fused-fragments fwd and fwd+bwd time,
-  * on-TPU parity of the affine mode vs the vertex-centered mode
-    (pix_to_face agreement fraction, zbuf max abs err) at 512².
+  * on-TPU parity of the affine mode vs the vertex-centered mode:
+    per-pixel pix_to_face agreement fraction (computed from dumped
+    arrays) and covered-pixel-count / mean-z deltas.
 
-Appends the comparison to EXP_AFFINE.json. Run on a real TPU:
+Writes (overwrites) the comparison to EXP_AFFINE.json. Run on a real TPU:
   python -m benchmarks.exp_affine
 """
 
@@ -73,13 +74,17 @@ def _worker():
             {"name": f"fwdbwd_{tag}", "ms": time_fn(lambda: g(fv)) * 1e3}
         )
 
-        # parity payload (only meaningful to compare across modes)
+        # parity payload: dump pix_to_face so the parent can compute a
+        # true per-pixel agreement fraction across modes
         idx, z = (np.asarray(x) for x in (frag(fv)[0], frag(fv)[1]))
+        mode = os.environ.get("P3D_RASTER_AFFINE", "0")
+        dump = f"/tmp/exp_affine_{tag}_mode{mode}.npy"
+        np.save(dump, idx)
         rows.append(
             {
                 "name": f"out_{tag}",
                 "pix_sum": int((idx >= 0).sum()),
-                "idx_hash": int(np.uint64(np.abs(idx).astype(np.uint64).sum())),
+                "idx_dump": dump,
                 "z_mean": float(np.where(idx >= 0, z, 0.0).mean()),
             }
         )
@@ -108,11 +113,16 @@ def main():
             raise RuntimeError(f"worker (affine={mode}) failed")
         results[mode] = json.loads(line[0][len("WORKER_JSON:"):])
 
+    import numpy as np
+
     comparison = []
     base = {r["name"]: r for r in results["0"]}
     aff = {r["name"]: r for r in results["1"]}
     for name, b in base.items():
-        a = aff[name]
+        a = aff.get(name)
+        if a is None:
+            print(f"warning: row {name} missing from affine run; skipped")
+            continue
         if "ms" in b:
             comparison.append(
                 {
@@ -123,10 +133,18 @@ def main():
                 }
             )
         else:
+            idx_b = np.load(b["idx_dump"])
+            idx_a = np.load(a["idx_dump"])
+            agree = float((idx_b == idx_a).mean())
+            covered = (idx_b >= 0) | (idx_a >= 0)
+            agree_cov = float(
+                (idx_b[covered] == idx_a[covered]).mean()
+            ) if covered.any() else 1.0
             comparison.append(
                 {
                     "name": name,
-                    "idx_match": b["idx_hash"] == a["idx_hash"],
+                    "pix_agreement": round(agree, 6),
+                    "pix_agreement_covered": round(agree_cov, 6),
                     "pix_delta": a["pix_sum"] - b["pix_sum"],
                     "z_mean_delta": abs(a["z_mean"] - b["z_mean"]),
                 }

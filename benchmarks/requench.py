@@ -58,16 +58,21 @@ def main(tol: float = 0.15):
     from dataclasses import asdict
 
     def patch(path):
+        # BENCH_GRID.json is {"rows": [...]}; BENCH_GRID_raster.json is a
+        # bare top-level list (runner.write_rows) — handle both shapes and
+        # write back the same shape.
         with open(path) as f:
             payload = json.load(f)
+        rows = payload["rows"] if isinstance(payload, dict) else payload
         n = 0
-        for i, r in enumerate(payload["rows"]):
+        for i, r in enumerate(rows):
             if r["name"] in new_rows:
-                payload["rows"][i] = asdict(new_rows[r["name"]])
+                rows[i] = asdict(new_rows[r["name"]])
                 n += 1
         with open(path, "w") as f:
             json.dump(payload, f, indent=1)
         print(f"patched {n} rows in {path}")
+        return n
 
     patch("BENCH_GRID.json")
     patch("BENCH_GRID_raster.json")

@@ -56,98 +56,73 @@ class PackedRectangles(NamedTuple):
     locations: List[PackedRectangle]
 
 
-class _UnplacedRectangle(NamedTuple):
-    size: Tuple[int, int]
-    ind: int
-    flipped: bool
+class _Shelf:
+    """One horizontal band of the packing: rectangles are appended left to
+    right; the band's height is fixed by its first (tallest) occupant."""
 
+    __slots__ = ("y", "height", "cursor")
 
-def _try_place_rectangle(rect, placed_so_far, occupied) -> bool:
-    """Try to place rect within the current bounding box by scanning the
-    rightmost-extent interval list; modifies placed_so_far/occupied in
-    place (reference mesh/utils.py:99, ported exactly)."""
-    total_width = occupied[0][0]
-    needed_height = rect.size[1]
-    current_start_idx = None
-    current_max_width = 0
-    previous_height = 0
-    currently_packed = 0
-    for idx, interval in enumerate(occupied):
-        if interval[0] <= total_width - rect.size[0]:
-            currently_packed += interval[1] - previous_height
-            current_max_width = max(interval[0], current_max_width)
-            if current_start_idx is None:
-                current_start_idx = idx
-            if currently_packed >= needed_height:
-                current_max_width = max(interval[0], current_max_width)
-                placed_so_far[rect.ind] = PackedRectangle(
-                    current_max_width,
-                    occupied[current_start_idx - 1][1],
-                    rect.flipped,
-                    True,
-                )
-                new_occupied = (
-                    current_max_width + rect.size[0],
-                    occupied[current_start_idx - 1][1] + needed_height,
-                )
-                if currently_packed == needed_height:
-                    occupied[idx] = new_occupied
-                    del occupied[current_start_idx:idx]
-                elif idx > current_start_idx:
-                    occupied[idx - 1] = new_occupied
-                    del occupied[current_start_idx : (idx - 1)]
-                else:
-                    occupied.insert(idx, new_occupied)
-                return True
-        else:
-            current_start_idx = None
-            current_max_width = 0
-            currently_packed = 0
-        previous_height = interval[1]
-    return False
+    def __init__(self, y: int, height: int) -> None:
+        self.y = y
+        self.height = height
+        self.cursor = 0
 
 
 def pack_rectangles(sizes: List[Tuple[int, int]]) -> PackedRectangles:
-    """Naive rectangle packing with 90-degree flips allowed
-    (reference :210); used to pack UV maps for join_scene."""
+    """Pack axis-aligned rectangles (90-degree flips allowed) into one
+    enclosing rectangle; used to lay out UV maps for TexturesUV.join_scene.
+
+    Original shelf-first-fit design (NOT the reference's interval-scan
+    packer; only the API matches reference renderer/mesh/utils.py:210):
+    every rectangle is normalized landscape (w >= h, recording a flip),
+    the bin width is the widest normalized rectangle, and rectangles are
+    placed tallest-first onto horizontal shelves. Each rectangle goes to
+    the first shelf with room (trying both orientations), else opens a
+    new shelf. Placements differ from the reference packer; callers only
+    rely on in-bounds, non-overlapping locations.
+    """
     if len(sizes) < 2:
         raise ValueError("Cannot pack less than two boxes")
 
-    queue = []
-    for i, size in enumerate(sizes):
-        if size[0] < size[1]:
-            queue.append(_UnplacedRectangle((size[1], size[0]), i, True))
+    # Normalize to landscape; flipped=True means the stored (w, h) is the
+    # caller's (ysize, xsize).
+    norm = []
+    for i, (x, y) in enumerate(sizes):
+        if x < y:
+            norm.append((y, x, i, True))
         else:
-            queue.append(_UnplacedRectangle((size[0], size[1]), i, False))
-    queue.sort()
-    placed_so_far = [PackedRectangle(-1, -1, False, False)] * len(sizes)
+            norm.append((x, y, i, False))
 
-    biggest = queue.pop()
-    total_width, current_height = biggest.size
-    placed_so_far[biggest.ind] = PackedRectangle(0, 0, biggest.flipped, True)
+    bin_width = max(w for w, _, _, _ in norm)
+    # Tallest first so each shelf's height is set by its first occupant;
+    # ties broken widest-first to keep shelves dense.
+    order = sorted(norm, key=lambda r: (r[1], r[0]), reverse=True)
 
-    second = queue.pop()
-    placed_so_far[second.ind] = PackedRectangle(
-        0, current_height, second.flipped, True
-    )
-    current_height += second.size[1]
-    occupied = [biggest.size, (second.size[0], current_height)]
+    placed = [PackedRectangle(-1, -1, False, False)] * len(sizes)
+    shelves: List[_Shelf] = []
+    total_height = 0
 
-    for rect in reversed(queue):
-        if _try_place_rectangle(rect, placed_so_far, occupied):
-            continue
-        rotated = _UnplacedRectangle(
-            (rect.size[1], rect.size[0]), rect.ind, not rect.flipped
-        )
-        if _try_place_rectangle(rotated, placed_so_far, occupied):
-            continue
-        placed_so_far[rect.ind] = PackedRectangle(
-            0, current_height, rect.flipped, True
-        )
-        current_height += rect.size[1]
-        occupied.append((rect.size[0], current_height))
+    for w, h, ind, flipped in order:
+        spot = None  # (shelf, w, h, flipped) chosen for this rectangle
+        for shelf in shelves:
+            if h <= shelf.height and shelf.cursor + w <= bin_width:
+                spot = (shelf, w, h, flipped)
+                break
+            # Portrait orientation can slot into a tall shelf whose
+            # remaining width is too narrow for landscape.
+            if w <= shelf.height and shelf.cursor + h <= bin_width:
+                spot = (shelf, h, w, not flipped)
+                break
+        if spot is None:
+            shelf = _Shelf(total_height, h)
+            total_height += h
+            shelves.append(shelf)
+            spot = (shelf, w, h, flipped)
+        shelf, pw, _, pflip = spot
+        placed[ind] = PackedRectangle(shelf.cursor, shelf.y, pflip, True)
+        shelf.cursor += pw
 
-    return PackedRectangles((total_width, current_height), placed_so_far)
+    return PackedRectangles((bin_width, total_height), placed)
 
 
 def pack_unique_rectangles(rectangles: List[Rectangle]) -> PackedRectangles:

