@@ -99,11 +99,19 @@ def _heuristic_mft(
     ico5's 20k faces all overlap the single tile pair; F//4 dropped 75%
     of them with no recourse on runtimes without host callbacks).  Use
     full-F capacity below 8 tiles — the cost is small exactly when the
-    tile count is small."""
+    tile count is small.
+
+    At many tiles the per-tile expectation is F/n_tiles, so capacity is
+    8x that (measured: ico6 at 1024² needs 4.1x the mean; the capacity-
+    scaling costs are the per-tile coordinate gather and the dead-chunk
+    streaming — EXP_1024.json recorded fwd+bwd 443 ms at the old F//4
+    guess vs 154 ms exact-sized).  The old F//4 remains the floor's cap
+    so mid tile counts never get a smaller list than before."""
     n_tiles = -(-image_size[0] // tile[0]) * -(-image_size[1] // tile[1])
     if n_tiles < 8:
         return _round_mft(F, F)
-    return _round_mft(int(min(F, max(1024, F // 4))), F)
+    guess = max(1024, min(F // 4, 8 * (F // n_tiles)))
+    return _round_mft(int(min(F, guess)), F)
 
 
 def _tile_overlap(
