@@ -299,16 +299,37 @@ def run_ours(scene: str, steps: int) -> None:
 def _install_visdom_stub():
     import types
 
-    if "visdom" in sys.modules:
-        return
-    m = types.ModuleType("visdom")
+    if "visdom" not in sys.modules:
+        m = types.ModuleType("visdom")
 
-    class Visdom:  # pragma: no cover — never instantiated in the control
-        def __init__(self, *a, **k):
-            raise RuntimeError("visdom stub")
+        class Visdom:  # pragma: no cover — never instantiated in the control
+            def __init__(self, *a, **k):
+                raise RuntimeError("visdom stub")
 
-    m.Visdom = Visdom
-    sys.modules["visdom"] = m
+        m.Visdom = Visdom
+        sys.modules["visdom"] = m
+    # nerf_renderer imports pytorch3d.vis.plotly_vis at module level; plotly
+    # is not installed here and plot_scene is never called in the control.
+    if "plotly" not in sys.modules:
+        plotly = types.ModuleType("plotly")
+        go = types.ModuleType("plotly.graph_objects")
+        sub = types.ModuleType("plotly.subplots")
+
+        def _raise(*a, **k):  # pragma: no cover
+            raise RuntimeError("plotly stub")
+
+        def _go_getattr(name):  # any go.X class/fn works; dunders stay real
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return _raise
+
+        go.__getattr__ = _go_getattr
+        sub.make_subplots = _raise
+        plotly.graph_objects = go
+        plotly.subplots = sub
+        sys.modules["plotly"] = plotly
+        sys.modules["plotly.graph_objects"] = go
+        sys.modules["plotly.subplots"] = sub
 
 
 def _stub_sample_pdf(stub) -> None:
@@ -392,7 +413,7 @@ def run_ref(scene: str, steps: int) -> None:
     for it in range(1, steps + 1):
         model.train()
         i = train_idx[rng.randint(len(train_idx))]
-        image = torch.tensor(images[i : i + 1])
+        image = torch.tensor(images[i])  # (H, W, 3); model adds the batch dim
         nerf_out, metrics = model(None, cam(i), image)
         loss = metrics["mse_coarse"] + metrics["mse_fine"]
         optimizer.zero_grad()
@@ -403,14 +424,12 @@ def run_ref(scene: str, steps: int) -> None:
             psnrs = []
             with torch.no_grad():
                 for j in test_idx:
-                    out, _ = model(
-                        None, cam(j), torch.tensor(images[j : j + 1])
-                    )
+                    out, _ = model(None, cam(j), torch.tensor(images[j]))
                     psnrs.append(
                         float(
                             calc_psnr(
-                                out["rgb_fine"],
-                                torch.tensor(images[j : j + 1]),
+                                out["rgb_fine"][0],
+                                torch.tensor(images[j]),
                             )
                         )
                     )

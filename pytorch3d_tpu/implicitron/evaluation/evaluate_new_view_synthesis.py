@@ -185,14 +185,24 @@ def eval_batch(
     results["psnr"] = results["psnr_full_image"]
     results["rgb_l1"] = results["rgb_l1_full_image"]
 
+    lpips_metric_name = None
     if lpips_model is not None:
+        # A substitute model (tools.lpips.LPIPSSubstitute) is NOT
+        # numerically comparable to AlexNet-LPIPS: its scores go under
+        # distinct `lpips_substitute_*` keys and are tagged in `meta` so
+        # downstream aggregation can't silently treat them as LPIPS.
+        is_sub = bool(getattr(lpips_model, "is_substitute", False))
+        key_base = "lpips_substitute" if is_sub else "lpips"
+        lpips_metric_name = getattr(
+            lpips_model, "metric_name", "alexnet-lpips"
+        )
         for gt_image_type, gt_im in (
             ("_full_image", image_rgb),
             ("_masked", image_rgb_masked),
         ):
             im1 = jnp.moveaxis(2.0 * jnp.clip(gt_im, 0, 1) - 1.0, -1, 1)
             im2 = jnp.moveaxis(2.0 * image_render - 1.0, -1, 1)
-            results["lpips" + gt_image_type] = float(
+            results[key_base + gt_image_type] = float(
                 lpips_model.forward(im1, im2)
             )
 
@@ -200,6 +210,8 @@ def eval_batch(
         "batch_size": int(frame_data.image_rgb.shape[0]),
         "frame_type": str(frame_type[0]) if frame_type else "test_unseen",
     }
+    if lpips_metric_name is not None:
+        results["meta"]["lpips_metric"] = lpips_metric_name
     return results
 
 

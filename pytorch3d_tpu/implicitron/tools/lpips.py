@@ -30,11 +30,19 @@ def _kernels():
     kernels = []
     cin = 3
     for w in _WIDTHS:
-        key, k = jax.random.split(key)
+        key, k, kb = jax.random.split(key, 3)
         fan_in = 3 * 3 * cin
         kernels.append(
-            jax.random.normal(k, (3, 3, cin, w), jnp.float32)
-            * (2.0 / fan_in) ** 0.5
+            (
+                jax.random.normal(k, (3, 3, cin, w), jnp.float32)
+                * (2.0 / fan_in) ** 0.5,
+                # Biases matter: a bias-free conv+relu stack is positively
+                # homogeneous, so unit-normalized features are invariant to
+                # global contrast changes (validated in
+                # benchmarks/validate_lpips.py — pre-bias the contrast
+                # family ordered at Spearman 0.4).
+                0.1 * jax.random.normal(kb, (w,), jnp.float32),
+            )
         )
         cin = w
     return tuple(kernels)
@@ -44,11 +52,11 @@ def _features(im: jnp.ndarray):
     """(N, H, W, 3) in [-1, 1] -> list of unit-normalized feature maps."""
     feats = []
     x = im
-    for i, k in enumerate(_kernels()):
+    for i, (k, b) in enumerate(_kernels()):
         x = jax.lax.conv_general_dilated(
             x, k, window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        ) + b
         x = jax.nn.relu(x) if i < len(_WIDTHS) - 1 else x
         norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)) + 1e-10
         feats.append(x / norm)
@@ -63,7 +71,17 @@ def _features(im: jnp.ndarray):
 class LPIPSSubstitute:
     """Callable matching the reference lpips_model interface:
     `forward(im1, im2)` with (N, 3, H, W) [-1, 1] inputs -> scalar per
-    batch (mean over samples)."""
+    batch (mean over samples).
+
+    `is_substitute = True` marks this model so `eval_batch` writes its
+    scores under `lpips_substitute_*` keys (never `lpips_*`) and tags
+    `meta["lpips_metric"]` — consumers cannot mistake it for
+    AlexNet-LPIPS.  Validation: benchmarks/validate_lpips.py →
+    LPIPS_VALIDATION.json (distortion-severity monotonicity + rank
+    correlation against PSNR/SSIM)."""
+
+    is_substitute = True
+    metric_name = "random-feature-substitute"
 
     def forward(self, im1: jnp.ndarray, im2: jnp.ndarray) -> jnp.ndarray:
         if im1.ndim != 4:

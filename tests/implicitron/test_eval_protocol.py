@@ -51,9 +51,12 @@ class TestEvalBatchKeys:
         for k in [
             "iou", "psnr_masked", "rgb_l1_masked", "psnr_fg", "rgb_l1_fg",
             "depth_abs_fg", "psnr_full_image", "rgb_l1_full_image",
-            "lpips_full_image", "lpips_masked", "meta",
+            "lpips_substitute_full_image", "lpips_substitute_masked", "meta",
         ]:
             assert k in r, f"missing {k}"
+        # the substitute must NEVER populate the reference lpips keys
+        assert "lpips_full_image" not in r and "lpips_masked" not in r
+        assert r["meta"]["lpips_metric"] == "random-feature-substitute"
         assert r["meta"]["batch_size"] == 1
         assert r["meta"]["frame_type"] == "test_unseen"
 
