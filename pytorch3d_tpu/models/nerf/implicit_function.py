@@ -14,10 +14,14 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...renderer.implicit.harmonic_embedding import HarmonicEmbedding
 from ...renderer.implicit.utils import ray_bundle_to_ray_points
+
+
+_XAVIER = nn.initializers.xavier_uniform()  # reference _xavier_init parity
 
 
 class MLPWithInputSkips(nn.Module):
@@ -36,7 +40,10 @@ class MLPWithInputSkips(nn.Module):
         for li in range(self.n_layers):
             if li in self.input_skips:
                 y = jnp.concatenate([y, z], axis=-1)
-            y = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"layer{li}")(y)
+            y = nn.Dense(
+                self.hidden_dim, dtype=self.dtype, name=f"layer{li}",
+                kernel_init=_XAVIER,
+            )(y)
             y = nn.relu(y)
         return y
 
@@ -69,19 +76,44 @@ class NeuralRadianceField(nn.Module):
             dtype=self.dtype,
         )
         self.intermediate_linear = nn.Dense(
-            self.n_hidden_neurons_xyz, dtype=self.dtype
+            self.n_hidden_neurons_xyz, dtype=self.dtype, kernel_init=_XAVIER
         )
-        self.density_layer = nn.Dense(1, dtype=self.dtype)
+        # density bias starts at 0 like the reference (flax default);
+        # xavier weights avoid the all-transparent init the reference
+        # comments about (implicit_function.py:79-84)
+        self.density_layer = nn.Dense(1, dtype=self.dtype, kernel_init=_XAVIER)
         self.color_layer_hidden = nn.Dense(
-            self.n_hidden_neurons_dir, dtype=self.dtype
+            self.n_hidden_neurons_dir, dtype=self.dtype, kernel_init=_XAVIER
         )
-        self.color_layer_out = nn.Dense(3, dtype=self.dtype)
+        self.color_layer_out = nn.Dense(3, dtype=self.dtype, kernel_init=_XAVIER)
 
-    def _get_densities(self, features: jnp.ndarray) -> jnp.ndarray:
-        raw = self.density_layer(features)
-        # softplus-like 1 - exp(-relu) (reference uses raw -> raymarcher;
-        # we follow the reference project: densities = 1 - exp(-softplus))
-        return 1.0 - jnp.exp(-nn.softplus(raw))
+    def _get_densities(
+        self,
+        features: jnp.ndarray,
+        depth_values: jnp.ndarray,  # (..., S) ray lengths
+        density_noise_std: float = 0.0,
+        noise_key=None,
+    ) -> jnp.ndarray:
+        """Raw densities -> [0,1] opacities, re-weighted by the depth step
+        sizes: 1 - exp(-deltas * relu(raw)) (reference
+        implicit_function.py:96-120).  The delta weighting makes opacity
+        invariant to the per-ray sampling resolution; the final sample gets
+        a quasi-infinite delta."""
+        raw = self.density_layer(features)  # (..., S, 1)
+        deltas = jnp.concatenate(
+            [
+                depth_values[..., 1:] - depth_values[..., :-1],
+                jnp.full_like(depth_values[..., :1], 1e10),
+            ],
+            axis=-1,
+        )[..., None]
+        # branch only on key presence: density_noise_std may be traced
+        # (e.g. under nn.remat); callers pass noise_key=None to disable
+        if noise_key is not None:
+            raw = raw + density_noise_std * jax.random.normal(
+                noise_key, raw.shape, raw.dtype
+            )
+        return 1.0 - jnp.exp(-deltas * nn.relu(raw))
 
     def _get_colors(self, features: jnp.ndarray, rays_directions: jnp.ndarray):
         spatial = features.shape[:-1]
@@ -100,7 +132,11 @@ class NeuralRadianceField(nn.Module):
         return nn.sigmoid(self.color_layer_out(hidden))
 
     def __call__(
-        self, ray_bundle, density_noise_std: float = 0.0, **kwargs
+        self,
+        ray_bundle,
+        density_noise_std: float = 0.0,
+        noise_key=None,
+        **kwargs,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """ray_bundle with origins/directions (..., 3), lengths (..., S).
 
@@ -109,6 +145,8 @@ class NeuralRadianceField(nn.Module):
         rays_points_world = ray_bundle_to_ray_points(ray_bundle)  # (..., S, 3)
         embeds_xyz = self.harmonic_embedding_xyz(rays_points_world)
         features = self.mlp_xyz(embeds_xyz, embeds_xyz)
-        densities = self._get_densities(features)
+        densities = self._get_densities(
+            features, ray_bundle.lengths, density_noise_std, noise_key
+        )
         colors = self._get_colors(features, ray_bundle.directions)
         return densities, colors

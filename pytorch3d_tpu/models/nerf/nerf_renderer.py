@@ -125,7 +125,8 @@ class RadianceFieldRenderer(nn.Module):
 
         # coarse pass
         densities, colors = self._renderer_coarse_field(
-            ray_bundle, density_noise_std=self.density_noise_std
+            ray_bundle, density_noise_std=self.density_noise_std,
+            noise_key=k_coarse if self.density_noise_std > 0 else None,
         )
         rgb_coarse, weights = self._raymarcher(densities, colors)
         bg = jnp.asarray(self.bg_color, rgb_coarse.dtype)
@@ -138,8 +139,10 @@ class RadianceFieldRenderer(nn.Module):
             ray_bundle, jax.lax.stop_gradient(weights),
             training=training, key=k_fine,
         )
+        k_fine, k_noise_f = jax.random.split(k_fine)
         densities_f, colors_f = self._renderer_fine_field(
-            ray_bundle_fine, density_noise_std=self.density_noise_std
+            ray_bundle_fine, density_noise_std=self.density_noise_std,
+            noise_key=k_noise_f if self.density_noise_std > 0 else None,
         )
         rgb_fine, weights_f = self._raymarcher(densities_f, colors_f)
         rgb_fine = rgb_fine + (

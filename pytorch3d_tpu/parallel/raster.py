@@ -32,6 +32,11 @@ from ..renderer.mesh.rasterize_meshes import (
     pixel_grid_ndc,
     rasterize_topk_xla_at_pixels,
 )
+from ..renderer.mesh.rasterize_pallas import (
+    _tile_for_k,
+    rasterize_fragments_pallas_band,
+    required_faces_per_tile,
+)
 
 
 def rasterize_fragments_shard_map(
@@ -46,18 +51,38 @@ def rasterize_fragments_shard_map(
     clip_barycentric_coords: bool = False,
     cull_backfaces: bool = False,
     chunk_size: int = 256,
+    backend: str = "auto",
+    max_faces_per_tile: Optional[int] = None,
 ):
     """Row-band sharded rasterization (differentiable wrt face_verts).
 
     The image's H rows are sharded over `mesh` axis `axis`; faces are
     replicated.  pix_to_face is non-differentiable; zbuf/bary/dists carry
     gradients to face_verts with an automatic cross-band psum.
+
+    `backend`: "pallas" drives the PRODUCTION Pallas kernel per band
+    (each device rasterizes its tile rows via
+    `rasterize_fragments_pallas_band`, bit-identical to the matching rows
+    of the unsharded kernel); "xla" uses the jnp oracle; "auto" picks
+    pallas on TPU meshes.
     """
     H, W = image_size
     n = mesh.shape[axis]
     if H % n != 0:
         raise ValueError(
             f"image height {H} must divide the '{axis}' axis size {n}"
+        )
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if all(d.platform == "tpu" for d in mesh.devices.flat)
+            else "xla"
+        )
+    if backend == "pallas":
+        return _rasterize_shard_map_pallas(
+            face_verts, valid, image_size, mesh, axis, blur_radius,
+            faces_per_pixel, perspective_correct, clip_barycentric_coords,
+            cull_backfaces, max_faces_per_tile,
         )
     yf, xf = pixel_grid_ndc(H, W, face_verts.dtype)
     pxy = jnp.stack(jnp.meshgrid(yf, xf, indexing="ij")[::-1], axis=-1)
@@ -110,3 +135,49 @@ def sharded_silhouette_loss_and_grad(
         return jnp.mean(alpha)
 
     return jax.value_and_grad(loss)(face_verts)
+
+
+def _rasterize_shard_map_pallas(
+    face_verts, valid, image_size, mesh, axis, blur_radius,
+    faces_per_pixel, perspective_correct, clip_barycentric_coords,
+    cull_backfaces, max_faces_per_tile,
+):
+    """shard_map over the production Pallas kernel: each device rasterizes
+    its own band of tile rows (ty0 = axis_index * rows-per-band) against
+    the replicated face list; `shard_map` AD inserts the psum that reduces
+    the face-vertex gradient across bands."""
+    H, W = image_size
+    n = mesh.shape[axis]
+    TH, _ = _tile_for_k(faces_per_pixel)
+    if (H // n) % TH != 0:
+        raise ValueError(
+            f"band height {H // n} must be a multiple of the K-aware tile"
+            f" height {TH} (K={faces_per_pixel})"
+        )
+    n_ty_band = (H // n) // TH
+
+    mft = max_faces_per_tile
+    if mft is None and not isinstance(face_verts, jax.core.Tracer):
+        # exact capacity, same policy as the unsharded eager entry
+        need = required_faces_per_tile(
+            face_verts, valid, (H, W), blur_radius
+        )
+        need = max(int(need), 1)
+        mft = 1 << (need - 1).bit_length()
+
+    def band(fv, ok):
+        ty0 = jax.lax.axis_index(axis).astype(jnp.int32) * n_ty_band
+        return rasterize_fragments_pallas_band(
+            fv, ok, ty0, (H, W), blur_radius, faces_per_pixel,
+            perspective_correct, clip_barycentric_coords, cull_backfaces,
+            mft, n_ty_band,
+        )
+
+    spec_px = P(axis)
+    return shard_map(
+        band,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(spec_px, spec_px, spec_px, spec_px),
+        check_rep=False,
+    )(face_verts, valid)

@@ -190,17 +190,30 @@ def _bin_faces(
     blur_radius: float,
     tile,
     max_faces_per_tile: int,
+    row_band=None,
 ):
     """Assign faces to tiles -> (n_tiles, 9, MFT) coord-major + ids + counts.
 
     Also returns `n_dropped`: total faces dropped across tiles because a
     tile's overlap count exceeded the static capacity (0 when the caller
     sized capacity with required_faces_per_tile).
+
+    `row_band=(ty0, n_ty_local)` restricts binning to `n_ty_local` tile
+    rows starting at (possibly traced) row `ty0` — the face lists, ids and
+    counts then cover only that band, in the same ascending-id order as the
+    full grid, so a banded rasterization is bit-identical to the matching
+    rows of the full one.
     """
     F = face_verts.shape[0]
     overlap, n_ty, n_tx = _tile_overlap(
         face_verts, valid, image_size, blur_radius, tile
     )
+    if row_band is not None:
+        ty0, n_ty_local = row_band
+        ov = overlap.reshape(n_ty, n_tx, F)
+        ov = jax.lax.dynamic_slice_in_dim(ov, ty0, n_ty_local, axis=0)
+        overlap = ov.reshape(n_ty_local * n_tx, F)
+        n_ty = n_ty_local
 
     # first-MFT face ids per tile (ascending face id order)
     score = jnp.where(overlap, -jnp.arange(F, dtype=jnp.float32)[None], -jnp.inf)
@@ -248,12 +261,16 @@ def _seg_dist2(px, py, ax, ay, bx, by):
     return dx * dx + dy * dy
 
 
-def _pixel_ndc(n_tx: int, image_size, tile):
-    """(tile_h, tile_w) NDC pixel-center coords of the current grid tile."""
+def _pixel_ndc(n_tx: int, image_size, tile, ty0=0):
+    """(tile_h, tile_w) NDC pixel-center coords of the current grid tile.
+
+    `ty0` (static int or traced scalar read from SMEM) offsets the tile row
+    — used by the row-band sharded path (parallel/raster.py) where each
+    device rasterizes its own horizontal band of the full image."""
     H, W = image_size
     tile_h, tile_w = tile
     t = pl.program_id(0)
-    ty = t // n_tx
+    ty = t // n_tx + ty0
     tx = t % n_tx
     rr = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
     cc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
@@ -266,7 +283,7 @@ def _pixel_ndc(n_tx: int, image_size, tile):
     return px, py
 
 
-def _tile_center_ndc(n_tx: int, image_size, tile):
+def _tile_center_ndc(n_tx: int, image_size, tile, ty0=0):
     """Scalar NDC coords of the current grid tile's center pixel.
 
     The same affine map as _pixel_ndc evaluated at the fractional center
@@ -274,7 +291,7 @@ def _tile_center_ndc(n_tx: int, image_size, tile):
     H, W = image_size
     tile_h, tile_w = tile
     t = pl.program_id(0)
-    ty = t // n_tx
+    ty = t // n_tx + ty0
     tx = t % n_tx
     rows_c = ty.astype(jnp.float32) * tile_h + (tile_h - 1) / 2.0
     cols_c = tx.astype(jnp.float32) * tile_w + (tile_w - 1) / 2.0
@@ -305,14 +322,15 @@ def _fine_kernel(
     perspective_correct: bool,
     clip_barycentric_coords: bool,
     tile: Tuple[int, int],
+    ty0=0,
 ):
     K = faces_per_pixel
     tile_h, tile_w = tile
     CH = fv_ref.shape[1]
     c = pl.program_id(1)
-    px, py = _pixel_ndc(n_tx, image_size, tile)
+    px, py = _pixel_ndc(n_tx, image_size, tile, ty0)
     if _AFFINE:
-        pcx, pcy = _tile_center_ndc(n_tx, image_size, tile)
+        pcx, pcy = _tile_center_ndc(n_tx, image_size, tile, ty0)
         dxp = px - pcx  # tile-local pixel offsets, |dx| <= half tile
         dyp = py - pcy
 
@@ -785,6 +803,7 @@ def _grad_kernel(
     perspective_correct: bool,
     clip_barycentric_coords: bool,
     tile: Tuple[int, int],
+    ty0=0,
 ):
     """Gradient of (zbuf, bary, dists) wrt face verts, reduced per tile slot.
 
@@ -799,7 +818,7 @@ def _grad_kernel(
     tile_h, tile_w = tile
     CH = fv_ref.shape[1]
     c = pl.program_id(1)
-    px, py = _pixel_ndc(n_tx, image_size, tile)
+    px, py = _pixel_ndc(n_tx, image_size, tile, ty0)
 
     idx_all = [idx_ref[k] for k in range(K)]
     gz_all = [gz_ref[k] for k in range(K)]
@@ -912,55 +931,80 @@ def rasterize_grad_pallas(
     perspective_correct: bool,
     clip_barycentric_coords: bool,
     n_tx: int,
+    ty0: Optional[jnp.ndarray] = None,  # (1, 1) int32 band tile-row offset
 ) -> jnp.ndarray:
-    """(F, 3, 3) gradient of the fragment outputs wrt face vertices."""
+    """(F, 3, 3) gradient of the fragment outputs wrt face vertices.
+
+    With `ty0` set, `pix_to_face`/cotangents cover only the row band
+    starting at tile row ty0 of the full `image_size` grid (the fv9/ids/
+    counts then come from the banded binning)."""
     H, W = image_size
     K = faces_per_pixel
     n_tiles, _, MFT = fv9.shape
     n_ty = n_tiles // n_tx
     tile = _tile_for_k(K)  # must match the fwd binning tile
     TH, TW = tile
+    H_loc = pix_to_face.shape[0]  # == H unless banded
     Hp, Wp = n_ty * TH, n_tx * TW
     CH = min(MFT, _CHUNK)
     n_chunks = MFT // CH
+    banded = ty0 is not None
 
-    def pad_kmaj(x):  # (H, W, K?) -> (K?, Hp, Wp)
+    def pad_kmaj(x):  # (H_loc, W, K?) -> (K?, Hp, Wp)
         x = jnp.moveaxis(x, -1, 0)
-        return jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        return jnp.pad(x, ((0, 0), (0, Hp - H_loc), (0, Wp - W)))
 
     idx_k = pad_kmaj(pix_to_face)
     gz_k = pad_kmaj(gz)
     gd_k = pad_kmaj(gdists)
-    gb_k = jnp.moveaxis(gbary, (2, 3), (0, 1)).reshape(K * 3, H, W)
-    gb_k = jnp.pad(gb_k, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    gb_k = jnp.moveaxis(gbary, (2, 3), (0, 1)).reshape(K * 3, H_loc, W)
+    gb_k = jnp.pad(gb_k, ((0, 0), (0, Hp - H_loc), (0, Wp - W)))
 
-    kernel = functools.partial(
-        _grad_kernel,
-        n_tx=n_tx,
-        image_size=image_size,
-        faces_per_pixel=K,
-        perspective_correct=perspective_correct,
-        clip_barycentric_coords=clip_barycentric_coords,
-        tile=tile,
-    )
+    def kernel(fv_ref, ids_ref, count_ref, *rest):
+        if banded:
+            band_ref = rest[0]
+            refs = rest[1:]
+            ty0_val = band_ref[0, 0]
+        else:
+            refs = rest
+            ty0_val = 0
+        idx_ref, gz_ref, gb_ref, gd_ref, gout_ref = refs
+        _grad_kernel(
+            fv_ref, ids_ref, count_ref, idx_ref, gz_ref, gb_ref, gd_ref,
+            gout_ref,
+            n_tx=n_tx,
+            image_size=image_size,
+            faces_per_pixel=K,
+            perspective_correct=perspective_correct,
+            clip_barycentric_coords=clip_barycentric_coords,
+            tile=tile,
+            ty0=ty0_val,
+        )
+
     tspec = lambda cdim: pl.BlockSpec(
         (cdim, TH, TW), lambda t, c: (0, t // n_tx, t % n_tx)
     )
+    in_specs = [
+        pl.BlockSpec((None, 9, CH), lambda t, c: (t, 0, c),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, 1, CH), lambda t, c: (t, 0, c),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, 1, 128), lambda t, c: (t, 0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    args = [fv9, ids, counts]
+    if banded:
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda t, c: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        args.append(jnp.asarray(ty0, jnp.int32).reshape(1, 1))
+    in_specs += [tspec(K), tspec(K), tspec(3 * K), tspec(K)]
+    args += [idx_k, gz_k, gb_k, gd_k]
     gout = pl.pallas_call(
         kernel,
         grid=(n_tiles, n_chunks),
-        in_specs=[
-            pl.BlockSpec((None, 9, CH), lambda t, c: (t, 0, c),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, CH), lambda t, c: (t, 0, c),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, 128), lambda t, c: (t, 0, 0),
-                         memory_space=pltpu.SMEM),
-            tspec(K),
-            tspec(K),
-            tspec(3 * K),
-            tspec(K),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (None, 9, CH), lambda t, c: (t, 0, c), memory_space=pltpu.SMEM
         ),
@@ -968,7 +1012,7 @@ def rasterize_grad_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(fv9, ids, counts, idx_k, gz_k, gb_k, gd_k)
+    )(*args)
 
     # small scatter: (n_tiles * MFT) slot grads -> (F, 9)
     flat_ids = ids.reshape(-1)
@@ -1010,16 +1054,29 @@ def rasterize_fragments_pallas(
     return out
 
 
-def _rfp_fwd(
+def _rfp_fwd_impl(
     face_verts, valid, image_size, blur_radius, faces_per_pixel,
     perspective_correct, clip_barycentric_coords, cull_backfaces,
-    max_faces_per_tile,
+    max_faces_per_tile, ty0=None, n_ty_band=None,
 ):
+    """Shared forward for the full-image and row-band entry points.
+
+    With `ty0`/`n_ty_band` set, rasterizes only the `n_ty_band` tile rows
+    starting at (traced) tile row `ty0` of the full `image_size` grid —
+    bit-identical to the matching rows of the full rasterization.  Used by
+    parallel/raster.py inside shard_map (ty0 = axis_index * band rows).
+    """
     H, W = image_size
     K = faces_per_pixel
     F = face_verts.shape[0]
     tile = _tile_for_k(K)
     TH, TW = tile
+    banded = ty0 is not None
+    if banded and H % TH != 0:
+        raise ValueError(
+            f"row-band rasterization needs image height {H} divisible by"
+            f" the tile height {TH}"
+        )
 
     ok = _face_ok(face_verts, valid, cull_backfaces)
 
@@ -1031,14 +1088,26 @@ def _rfp_fwd(
     fv9, ids, counts, n_ty, n_tx, _ = _bin_faces(
         jax.lax.stop_gradient(face_verts), ok, image_size, blur_radius,
         tile, mft,
+        row_band=(ty0, n_ty_band) if banded else None,
     )
     n_tiles = n_ty * n_tx
     MFT = fv9.shape[2]
     CH = min(MFT, _CHUNK)
     n_chunks = MFT // CH
 
-    def kernel(fv_ref, ids_ref, count_ref, idx_o, z_o, b0_o, b1_o, b2_o,
-               d_o):
+    band_arr = (
+        jnp.asarray(ty0, jnp.int32).reshape(1, 1) if banded else None
+    )
+
+    def kernel(fv_ref, ids_ref, count_ref, *rest):
+        if banded:
+            band_ref = rest[0]
+            outs = rest[1:]
+            ty0_val = band_ref[0, 0]
+        else:
+            outs = rest
+            ty0_val = 0
+        idx_o, z_o, b0_o, b1_o, b2_o, d_o = outs
         _fine_kernel(
             fv_ref, ids_ref, count_ref, idx_o, z_o, b0_o, b1_o, b2_o, d_o,
             None,
@@ -1050,7 +1119,24 @@ def _rfp_fwd(
             perspective_correct=perspective_correct,
             clip_barycentric_coords=clip_barycentric_coords,
             tile=tile,
+            ty0=ty0_val,
         )
+
+    in_specs = [
+        pl.BlockSpec((None, 9, CH), lambda t, c: (t, 0, c),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, 1, CH), lambda t, c: (t, 0, c),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, 1, 128), lambda t, c: (t, 0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    args = [fv9, ids, counts]
+    if banded:
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda t, c: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        args.append(band_arr)
 
     out_spec = pl.BlockSpec(
         (K, TH, TW), lambda t, c: (0, t // n_tx, t % n_tx)
@@ -1061,14 +1147,7 @@ def _rfp_fwd(
     idx_out, z_o, b0_o, b1_o, b2_o, d_o = pl.pallas_call(
         kernel,
         grid=(n_tiles, n_chunks),
-        in_specs=[
-            pl.BlockSpec((None, 9, CH), lambda t, c: (t, 0, c),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, CH), lambda t, c: (t, 0, c),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, 128), lambda t, c: (t, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[out_spec] * 6,
         out_shape=[
             jax.ShapeDtypeStruct((K, n_ty * TH, n_tx * TW), jnp.int32),
@@ -1077,10 +1156,12 @@ def _rfp_fwd(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(fv9, ids, counts)
+    )(*args)
+
+    H_loc = n_ty * TH if banded else H
 
     def crop(x):
-        return jnp.moveaxis(x, 0, -1)[:H, :W]
+        return jnp.moveaxis(x, 0, -1)[:H_loc, :W]
 
     pix_to_face = crop(idx_out)
     empty = pix_to_face < 0
@@ -1093,15 +1174,29 @@ def _rfp_fwd(
     out = (pix_to_face, zbuf, bary, dists)
     # F and n_tx are recovered statically in the bwd (from shapes / image
     # size) — residuals must be arrays only.
-    res = (fv9, ids, counts, pix_to_face, jnp.zeros((F, 0), jnp.float32))
+    band_res = band_arr if banded else jnp.zeros((1, 1), jnp.int32)
+    res = (fv9, ids, counts, pix_to_face, jnp.zeros((F, 0), jnp.float32),
+           band_res)
     return out, res
+
+
+def _rfp_fwd(
+    face_verts, valid, image_size, blur_radius, faces_per_pixel,
+    perspective_correct, clip_barycentric_coords, cull_backfaces,
+    max_faces_per_tile,
+):
+    return _rfp_fwd_impl(
+        face_verts, valid, image_size, blur_radius, faces_per_pixel,
+        perspective_correct, clip_barycentric_coords, cull_backfaces,
+        max_faces_per_tile,
+    )
 
 
 def _rfp_bwd(
     image_size, blur_radius, faces_per_pixel, perspective_correct,
     clip_barycentric_coords, cull_backfaces, max_faces_per_tile, res, g,
 ):
-    fv9, ids, counts, pix_to_face, f_marker = res
+    fv9, ids, counts, pix_to_face, f_marker, _ = res
     F = f_marker.shape[0]
     n_tx = -(-image_size[1] // _TILE_W)
     _, gz, gbary, gdists = g
@@ -1113,3 +1208,68 @@ def _rfp_bwd(
 
 
 rasterize_fragments_pallas.defvjp(_rfp_fwd, _rfp_bwd)
+
+
+# --------------------------------------------------------------------------- #
+# Row-band entry: the same fused op over a horizontal band of the image.
+# ty0 is a TRACED tile-row offset (so shard_map can pass axis_index-derived
+# bands); n_ty_band is static.  Outputs cover rows
+# [ty0*TH, ty0*TH + n_ty_band*TH) and are bit-identical to those rows of the
+# full-image op.
+# --------------------------------------------------------------------------- #
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
+)
+def rasterize_fragments_pallas_band(
+    face_verts: jnp.ndarray,  # (F, 3, 3)
+    valid: jnp.ndarray,  # (F,)
+    ty0: jnp.ndarray,  # () int32 — first tile row of the band (traced ok)
+    image_size: Tuple[int, int],
+    blur_radius: float = 0.0,
+    faces_per_pixel: int = 1,
+    perspective_correct: bool = False,
+    clip_barycentric_coords: bool = False,
+    cull_backfaces: bool = False,
+    max_faces_per_tile: Optional[int] = None,
+    n_ty_band: int = 1,
+):
+    out, _ = _rfpb_fwd(
+        face_verts, valid, ty0, image_size, blur_radius, faces_per_pixel,
+        perspective_correct, clip_barycentric_coords, cull_backfaces,
+        max_faces_per_tile, n_ty_band,
+    )
+    return out
+
+
+def _rfpb_fwd(
+    face_verts, valid, ty0, image_size, blur_radius, faces_per_pixel,
+    perspective_correct, clip_barycentric_coords, cull_backfaces,
+    max_faces_per_tile, n_ty_band,
+):
+    return _rfp_fwd_impl(
+        face_verts, valid, image_size, blur_radius, faces_per_pixel,
+        perspective_correct, clip_barycentric_coords, cull_backfaces,
+        max_faces_per_tile, ty0=ty0, n_ty_band=n_ty_band,
+    )
+
+
+def _rfpb_bwd(
+    image_size, blur_radius, faces_per_pixel, perspective_correct,
+    clip_barycentric_coords, cull_backfaces, max_faces_per_tile, n_ty_band,
+    res, g,
+):
+    fv9, ids, counts, pix_to_face, f_marker, band_arr = res
+    F = f_marker.shape[0]
+    n_tx = -(-image_size[1] // _TILE_W)
+    _, gz, gbary, gdists = g
+    grad_fv = rasterize_grad_pallas(
+        fv9, ids, counts, pix_to_face, gz, gbary, gdists, F, image_size,
+        faces_per_pixel, perspective_correct, clip_barycentric_coords, n_tx,
+        ty0=band_arr,
+    )
+    return grad_fv, None, None
+
+
+rasterize_fragments_pallas_band.defvjp(_rfpb_fwd, _rfpb_bwd)

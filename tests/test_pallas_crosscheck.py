@@ -360,10 +360,19 @@ class TestHeuristicCapacity:
         out = rmp._bin_faces(fv, valid, (64, 64), 0.0, tile, mft)
         assert int(np.asarray(out[-1])) == 0  # n_dropped
 
-    def test_large_image_heuristic_unchanged(self):
+    def test_large_image_heuristic_tile_aware(self):
         tile = rmp._tile_for_k(8)
+        # many-tile regime: capacity = min(F // 4, 8 * F / n_tiles),
+        # chunk-rounded; at 512^2 (64 tiles of 32x128) that is the
+        # 8x-mean term: 8 * 20480 / 64 = 2560 -> rounded up to 3072
         mft = rmp._heuristic_mft(20480, (512, 512), tile)
-        assert mft == 5120  # F // 4 regime
+        n_tiles = 16 * 4
+        expect = rmp._round_mft(
+            max(1024, min(20480 // 4, 8 * (20480 // n_tiles))), 20480
+        )
+        assert mft == expect
+        # the F // 4 cap still binds when tiles are few relative to F
+        assert rmp._heuristic_mft(20480, (256, 256), tile) <= 20480 // 4 + rmp._CHUNK
 
 
 class TestAffineEdgeMode:
