@@ -10,6 +10,8 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from golden_utils import golden_size, mad_tol, pool_golden
 import pytest
 
 from pytorch3d_tpu.io import load_obj
@@ -42,7 +44,7 @@ def _golden(name):
     from PIL import Image
 
     with Image.open(os.path.join(DATA, name)) as f:
-        return np.asarray(f, np.float32)[..., :3] / 255.0
+        return pool_golden(np.asarray(f, np.float32)[..., :3] / 255.0)
 
 
 def _uv_mesh():
@@ -68,7 +70,8 @@ class TestCowTextureMap:
             MeshRasterizer(
                 cams,
                 RasterizationSettings(
-                    image_size=512, blur_radius=0.0, faces_per_pixel=1
+                    image_size=golden_size(512), blur_radius=0.0,
+                    faces_per_pixel=1,
                 ),
             ),
             SoftPhongShader(
@@ -86,7 +89,7 @@ class TestCowTextureMap:
         rgb = np.asarray(renderer(mesh))[0, ..., :3]
         ref = _golden(f"test_texture_map_{side}_MeshRasterizer.png")
         mad = np.abs(rgb - ref).mean()
-        assert mad < 0.01, f"{side}: mad {mad}"
+        assert mad < mad_tol(0.01), f"{side}: mad {mad}"
 
     def test_grad_flows_through_textured_render(self):
         mesh = _uv_mesh()
@@ -136,7 +139,7 @@ class TestCowTextureAtlas:
             MeshRasterizer(
                 cams,
                 RasterizationSettings(
-                    image_size=512,
+                    image_size=golden_size(512),
                     blur_radius=0.0,
                     faces_per_pixel=1,
                     cull_backfaces=True,
@@ -156,4 +159,4 @@ class TestCowTextureAtlas:
         rgb = np.asarray(renderer(mesh))[0, ..., :3]
         ref = _golden("test_texture_atlas_8x8_back_MeshRasterizer.png")
         mad = np.abs(rgb - ref).mean()
-        assert mad < 0.01, f"atlas: mad {mad}"
+        assert mad < mad_tol(0.01), f"atlas: mad {mad}"

@@ -10,6 +10,8 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+
+from golden_utils import golden_size, mad_tol, pool_golden
 import pytest
 
 from pytorch3d_tpu.renderer import (
@@ -65,7 +67,9 @@ def _golden(name):
     from PIL import Image
 
     path = os.path.join(DATA, f"test_joined_spheres_{name}.png")
-    return np.asarray(Image.open(path), np.float32)[..., :3] / 255.0
+    return pool_golden(
+        np.asarray(Image.open(path), np.float32)[..., :3] / 255.0
+    )
 
 
 @pytest.mark.parametrize(
@@ -83,7 +87,7 @@ def test_joined_spheres_matches_golden(name, shader_cls):
     cams = FoVPerspectiveCameras.create(R=R, T=T)
     is_gl = name == "splatter"
     rs = RasterizationSettings(
-        image_size=512,
+        image_size=golden_size(512),
         blur_radius=0.0,
         faces_per_pixel=1,
         perspective_correct=True if is_gl else None,
@@ -101,4 +105,4 @@ def test_joined_spheres_matches_golden(name, shader_cls):
     ref = _golden(name)
     mad = np.abs(rgb - ref).mean()
     # reference's own tolerance is atol=0.05 per pixel; we report the mean
-    assert mad < 0.01, f"{name}: mean abs diff {mad}"
+    assert mad < mad_tol(0.01), f"{name}: mean abs diff {mad}"

@@ -11,6 +11,8 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+
+from golden_utils import golden_size, mad_tol, pool_golden, sil_tol
 import pytest
 import torch
 
@@ -46,7 +48,7 @@ class TestMultiviewGoldens:
         from PIL import Image
 
         pos, col, rad = _multiview_scene()
-        ren = Renderer(1000, 1000, 10)
+        ren = Renderer(golden_size(1000), golden_size(1000), 10)
         cam = jnp.asarray(
             [
                 np.sin(angle) * 35.0, 0.0, 30.0 - np.cos(angle) * 35.0,
@@ -55,7 +57,7 @@ class TestMultiviewGoldens:
             jnp.float32,
         )
         img = np.asarray(ren.forward(pos, col, rad, cam, 0.1, 45.0))
-        ref = (
+        ref = pool_golden(
             np.asarray(
                 Image.open(
                     f"{REF}/examples_TestRenderer_test_multiview_{idx}.png"
@@ -65,11 +67,11 @@ class TestMultiviewGoldens:
             / 255.0
         )
         mad = float(np.abs(img - ref).mean())
-        assert mad < 0.02, f"view {idx}: mean abs diff {mad}"
+        assert mad < mad_tol(0.02), f"view {idx}: mean abs diff {mad}"
         # silhouettes must agree closely (non-white = sphere)
         fg_mine = img.sum(-1) < 2.9
         fg_ref = ref.sum(-1) < 2.9
-        assert np.mean(fg_mine != fg_ref) < 0.01
+        assert np.mean(fg_mine != fg_ref) < sil_tol(0.01)
 
 
 class TestBasicForward:
