@@ -1,12 +1,13 @@
 """NeRF train-step breakdown + MFU experiment (run on real TPU).
 
-NEXT.md open item: the mlp256x8 grid row showed ~104 ms @4096 rays
-(fwd+bwd+opt, coarse+fine). This experiment separates the phases and
-variants so the remaining time is attributable:
+Separates the mlp256x8 train step into attributable phases and variants
+(VERDICT r2 #4):
 
-  * fwd loss only / grad only / full optax step,
-  * fp32 vs bf16 activations vs bf16-mixed params vs remat,
-  * ray-batch scaling (4096 -> 16384) to expose dispatch overhead,
+  * fwd loss only / grad only / optimizer-only, per precision variant
+    (fp32, bf16 activations, bf16+remat) at the 4096-ray training batch;
+  * ray-batch scaling 4096 -> 8192 -> 16384 on the bf16_remat variant
+    (remat keeps the backward inside HBM; the fp32 backward OOMs past
+    4096 rays, which is why the non-remat variants stay at 4096);
   * XLA cost-analysis flops -> achieved FLOP/s and MFU vs the v5e
     bf16 MXU peak (197 TFLOP/s; fp32 matmuls lower to multi-pass bf16).
 
@@ -78,16 +79,15 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    # ray scaling: fwd_fp32 measured 20.7 ms @4096 -> 84.3 ms @16384
-    # (linear) — the step is compute-bound already at 4096 rays, and the
-    # un-rematerialized fp32 backward OOMs at 16384 (2.1 GB activations
-    # per MLP layer), so the grid stays at the training batch size.
+    # Per-variant phase breakdown at the 4096-ray training batch; the
+    # bf16_remat variant additionally scales the ray batch (8k/16k) —
+    # remat keeps backward activations in budget where plain fp32 OOMs.
     for tag, kw in [
         ("fp32", {}),
         ("bf16", {"dtype": jnp.bfloat16}),
         ("bf16_remat", {"dtype": jnp.bfloat16, "remat": True}),
     ]:
-        for n_rays in (4096,):
+        for n_rays in (4096,) if tag != "bf16_remat" else (4096, 8192, 16384):
             model, params, cams, image, key = build(n_rays=n_rays, **kw)
 
             def loss_fn(p, k):

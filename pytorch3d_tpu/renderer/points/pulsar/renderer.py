@@ -29,7 +29,10 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ....transforms.rotation_conversions import axis_angle_to_matrix
+from ....transforms.rotation_conversions import (
+    axis_angle_to_matrix,
+    rotation_6d_to_matrix,
+)
 from ..rasterize_points import rasterize_points_topk_xla
 
 
@@ -56,9 +59,26 @@ class Renderer:
         self._n_channels = n_channels
         self._n_track = n_track
 
-    def _cam_to_view(self, vert_pos: jnp.ndarray, cam_params: jnp.ndarray):
-        pos = cam_params[0:3]
-        rot = axis_angle_to_matrix(cam_params[3:6])  # (3, 3) col-vector conv
+    @staticmethod
+    def _parse_cam(cam_params: jnp.ndarray):
+        """Parse the reference's {8, 10, 11, 13}-float camera layouts
+        (reference renderer.py:390-477): axis-angle rotation at 8/10
+        floats, Zhou et al. 6D rotation at 11/13; optional trailing
+        principal-point offsets."""
+        n = cam_params.shape[0]
+        if n in (11, 13):
+            rot = rotation_6d_to_matrix(cam_params[3:9])
+            focal = cam_params[9]
+            sensor_width = cam_params[10]
+            pp = cam_params[11:13] if n == 13 else None
+        else:
+            rot = axis_angle_to_matrix(cam_params[3:6])
+            focal = cam_params[6]
+            sensor_width = cam_params[7]
+            pp = cam_params[8:10] if n == 10 else None
+        return cam_params[0:3], rot, focal, sensor_width, pp
+
+    def _cam_to_view(self, vert_pos: jnp.ndarray, pos, rot):
         rel = vert_pos - pos[None]
         view = rel @ rot  # row-vector application of R^T ... see docstring
         if self._right_handed:
@@ -85,15 +105,16 @@ class Renderer:
         H, W = self._height, self._width
         C = self._n_channels
         P = vert_pos.shape[0]
-        focal = cam_params[6]
-        sensor_width = cam_params[7]
+        cam_pos, cam_rot, focal, sensor_width, pp = self._parse_cam(
+            cam_params
+        )
         if bg_col is None:
             # reference renderer.py:71: None means all ones
             bg_col = jnp.ones((C,), vert_col.dtype)
         if opacity is None:
             opacity = jnp.ones((P,), vert_pos.dtype)
 
-        view = self._cam_to_view(vert_pos, cam_params)
+        view = self._cam_to_view(vert_pos, cam_pos, cam_rot)
         z = view[:, 2]
         if self._orthogonal:
             scale = 2.0 / sensor_width
@@ -108,11 +129,11 @@ class Renderer:
             y_ndc = view[:, 1] * inv_z * scale
             r_ndc = vert_rad * inv_z * scale
 
-        # principal-point offsets in pixels ride in cam_params[8:10]
-        # (reference unified.py:502 builds the 10-float layout)
-        if cam_params.shape[0] >= 10:
-            x_ndc = x_ndc + cam_params[8] / (0.5 * W)
-            y_ndc = y_ndc + cam_params[9] / (0.5 * H)
+        # principal-point offsets in pixels (10/13-float layouts,
+        # reference unified.py:502)
+        if pp is not None:
+            x_ndc = x_ndc + pp[0] / (0.5 * W)
+            y_ndc = y_ndc + pp[1] / (0.5 * H)
 
         # pulsar's image +x is RIGHT; the shared point rasterizer and the
         # closeness recompute below use PyTorch3D NDC (+x LEFT) -> negate
@@ -122,9 +143,33 @@ class Renderer:
         pts_ndc = jnp.stack([x_ndc, y_ndc, z], axis=-1)
         valid = (z > min_depth) & (z < max_depth)
 
-        idx = rasterize_points_topk_xla(
-            pts_ndc, r_ndc, valid, (H, W), self._n_track
-        )  # (H, W, K)
+        # Sphere -> pixel assignment.  On TPU the tile-binned Pallas point
+        # kernel runs (chunk-streamed per-tile lists; this is what lets
+        # pulsar reach the reference's millions-of-spheres regime,
+        # csrc/pulsar/gpu/renderer.*.gpu.cu); elsewhere the XLA oracle.
+        if jax.default_backend() == "tpu":
+            from ..rasterize_points_pallas import (
+                rasterize_points_fragments_pallas,
+                required_points_per_tile,
+            )
+
+            mppt = None
+            if not isinstance(pts_ndc, jax.core.Tracer):
+                need = int(
+                    required_points_per_tile(
+                        jax.lax.stop_gradient(pts_ndc), r_ndc, valid,
+                        (H, W),
+                    )
+                )
+                mppt = 1 << max(need - 1, 0).bit_length()
+            idx = rasterize_points_fragments_pallas(
+                jax.lax.stop_gradient(pts_ndc), r_ndc, valid, (H, W),
+                self._n_track, mppt,
+            )[0]
+        else:
+            idx = rasterize_points_topk_xla(
+                pts_ndc, r_ndc, valid, (H, W), self._n_track
+            )  # (H, W, K)
         sel = jnp.maximum(idx, 0)
         hit = idx >= 0
 

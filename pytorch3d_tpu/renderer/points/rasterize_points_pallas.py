@@ -27,6 +27,8 @@ from ..mesh.rasterize_meshes import pix_to_non_square_ndc
 
 _TILE_H = 32
 _TILE_W = 128
+_CHUNK = 1024  # points per streamed SMEM chunk (shared by select + grad)
+_MPT_HARD_CAP = 32768  # absolute per-tile point-list capacity (32 chunks)
 
 from ..mesh.rasterize_pallas import _tile_for_k  # noqa: E402  (shared rule:
 # the K-deep per-pixel state makes the kernels' scoped-VMEM stack grow as
@@ -95,6 +97,52 @@ def _bin_points(
     return data, ids[:, None, :], counts_smem, n_ty, n_tx
 
 
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "tile")
+)
+def required_points_per_tile(
+    points: jnp.ndarray,
+    radius: jnp.ndarray,
+    valid: jnp.ndarray,
+    image_size: Tuple[int, int],
+    tile: Tuple[int, int] = (_TILE_H, _TILE_W),
+) -> jnp.ndarray:
+    """Exact per-tile point-list capacity (max over tiles of the bbox
+    overlap count) — the points analog of the mesh path's
+    required_faces_per_tile; pulsar-scale callers use it to size the
+    streamed lists with no silent drops."""
+    H, W = image_size
+    TH, TW = tile
+    n_ty = -(-H // TH)
+    n_tx = -(-W // TW)
+    x = points[:, 0]
+    y = points[:, 1]
+    rows0 = jnp.arange(n_ty) * TH
+    rows1 = jnp.minimum(rows0 + TH, H) - 1
+    cols0 = jnp.arange(n_tx) * TW
+    cols1 = jnp.minimum(cols0 + TW, W) - 1
+    ty_max = pix_to_non_square_ndc(H - 1 - rows0, H, W)
+    ty_min = pix_to_non_square_ndc(H - 1 - rows1, H, W)
+    tx_max = pix_to_non_square_ndc(W - 1 - cols0, W, H)
+    tx_min = pix_to_non_square_ndc(W - 1 - cols1, W, H)
+    half_px = float(
+        max(2.0 * max(H / W, 1.0) / H, 2.0 * max(W / H, 1.0) / W)
+    )
+    ok = valid & (points[:, 2] >= 0)
+    oy = ((y - radius)[None, :] <= ty_max[:, None] + half_px) & (
+        (y + radius)[None, :] >= ty_min[:, None] - half_px
+    )
+    ox = ((x - radius)[None, :] <= tx_max[:, None] + half_px) & (
+        (x + radius)[None, :] >= tx_min[:, None] - half_px
+    )
+    counts = jnp.einsum(
+        "tp,xp->tx",
+        (oy & ok[None]).astype(jnp.int32),
+        ox.astype(jnp.int32),
+    )
+    return jnp.max(counts)
+
+
 def _pixel_coords(tile_h, tile_w, ty, tx, H, W):
     rr = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
     cc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
@@ -120,13 +168,30 @@ def _fine_kernel(
     points_per_pixel: int,
     tile: Tuple[int, int] = (_TILE_H, _TILE_W),
 ):
+    """Chunk-streamed per-tile select: the per-tile point list arrives in
+    (4, CH) SMEM chunks over grid dim 1; the K-slot insertion state is
+    carried ACROSS chunks through the output refs (initialized at chunk 0),
+    exactly like the mesh fine kernel — this lifts the old 4096 whole-list
+    SMEM cap to _MPT_HARD_CAP (needed by pulsar-scale sphere counts)."""
     H, W = image_size
     TH, TW = tile
     K = points_per_pixel
+    CH = data_ref.shape[1]
+    c = pl.program_id(1)
     t = pl.program_id(0)
     ty = t // n_tx
     tx = t % n_tx
     px, py = _pixel_coords(TH, TW, ty, tx, H, W)
+
+    @pl.when(c == 0)
+    def _init():
+        inf_tile = jnp.full((TH, TW), jnp.inf, jnp.float32)
+        neg1_tile = jnp.full((TH, TW), -1, jnp.int32)
+        zero_tile = jnp.zeros((TH, TW), jnp.float32)
+        for k in range(K):
+            idx_out[k] = neg1_tile
+            z_out[k] = inf_tile
+            d_out[k] = zero_tile
 
     def body(j, best):
         cx = data_ref[0, j]
@@ -154,16 +219,11 @@ def _fine_kernel(
             out.append(merged)
         return tuple(out)
 
-    zeros = jnp.zeros((TH, TW), jnp.float32)
     init = tuple(
-        (
-            jnp.full((TH, TW), jnp.inf, jnp.float32),
-            jnp.full((TH, TW), -1, jnp.int32),
-            zeros,
-        )
-        for _ in range(K)
+        (z_out[k], idx_out[k], d_out[k]) for k in range(K)
     )
-    best = jax.lax.fori_loop(0, count_ref[0, 0], body, init)
+    n_live = jnp.clip(count_ref[0, 0] - c * CH, 0, CH)
+    best = jax.lax.fori_loop(0, n_live, body, init)
     for k in range(K):
         idx_out[k] = best[k][1]
         z_out[k] = best[k][0]
@@ -187,7 +247,8 @@ def _grad_kernel(
     H, W = image_size
     TH, TW = tile
     K = points_per_pixel
-    MPT = data_ref.shape[1]
+    CH = data_ref.shape[1]
+    c = pl.program_id(1)
     t = pl.program_id(0)
     ty = t // n_tx
     tx = t % n_tx
@@ -224,8 +285,9 @@ def _grad_kernel(
             gout_ref[r, j] = 0.0
         return 0
 
-    jax.lax.fori_loop(count_ref[0, 0], MPT, zero_body, 0)
-    jax.lax.fori_loop(0, count_ref[0, 0], body, 0)
+    n_live = jnp.clip(count_ref[0, 0] - c * CH, 0, CH)
+    jax.lax.fori_loop(n_live, CH, zero_body, 0)
+    jax.lax.fori_loop(0, n_live, body, 0)
 
 
 @functools.partial(
@@ -255,9 +317,12 @@ def _rpf_fwd(points, radius, valid, image_size, points_per_pixel,
     mpt = max_points_per_tile
     if mpt is None:
         mpt = int(min(P, max(1024, P // 4)))
-    # SMEM budget: 4 data rows + ids + 3 grad rows of MPT floats must fit
-    # scalar memory (~128KB usable) -> cap the per-tile list at 4096.
-    mpt = max(128, min(-(-mpt // 128) * 128, -(-P // 128) * 128, 4096))
+    # per-tile lists stream through SMEM in _CHUNK-point chunks (grid
+    # dim 1), so capacity is bounded by the streaming cap, not whole-list
+    # SMEM residency
+    mpt = max(128, min(-(-mpt // 128) * 128, -(-P // 128) * 128))
+    if mpt > _CHUNK:
+        mpt = min(-(-mpt // _CHUNK) * _CHUNK, _MPT_HARD_CAP)
 
     tile = _tile_for_k(K)
     TH, TW = tile
@@ -267,6 +332,8 @@ def _rpf_fwd(points, radius, valid, image_size, points_per_pixel,
     )
     n_tiles = n_ty * n_tx
     MPT = data.shape[2]
+    CH = min(MPT, _CHUNK)
+    n_chunks = MPT // CH
 
     kernel = functools.partial(
         _fine_kernel,
@@ -276,20 +343,20 @@ def _rpf_fwd(points, radius, valid, image_size, points_per_pixel,
         tile=tile,
     )
     tspec = pl.BlockSpec(
-        (K, TH, TW), lambda t: (0, t // n_tx, t % n_tx)
+        (K, TH, TW), lambda t, c: (0, t // n_tx, t % n_tx)
     )
     fshape = jax.ShapeDtypeStruct(
         (K, n_ty * TH, n_tx * TW), jnp.float32
     )
     idx_o, z_o, d_o = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((None, 4, MPT), lambda t: (t, 0, 0),
+            pl.BlockSpec((None, 4, CH), lambda t, c: (t, 0, c),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, MPT), lambda t: (t, 0, 0),
+            pl.BlockSpec((None, 1, CH), lambda t, c: (t, 0, c),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, 128), lambda t: (t, 0, 0),
+            pl.BlockSpec((None, 1, 128), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[tspec] * 3,
@@ -298,6 +365,9 @@ def _rpf_fwd(points, radius, valid, image_size, points_per_pixel,
             fshape,
             fshape,
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
     )(data, ids, counts)
 
     def crop(x):
@@ -323,6 +393,8 @@ def _rpf_bwd(image_size, points_per_pixel, max_points_per_tile, res, g):
     n_tiles, _, MPT = data.shape
     n_ty = n_tiles // n_tx
     Hp, Wp = n_ty * TH, n_tx * TW
+    CH = min(MPT, _CHUNK)
+    n_chunks = MPT // CH
 
     def pad_kmaj(x):
         x = jnp.moveaxis(x, -1, 0)
@@ -338,24 +410,27 @@ def _rpf_bwd(image_size, points_per_pixel, max_points_per_tile, res, g):
         tile=tile,
     )
     tspec = pl.BlockSpec(
-        (K, TH, TW), lambda t: (0, t // n_tx, t % n_tx)
+        (K, TH, TW), lambda t, c: (0, t // n_tx, t % n_tx)
     )
     gout = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((None, 4, MPT), lambda t: (t, 0, 0),
+            pl.BlockSpec((None, 4, CH), lambda t, c: (t, 0, c),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, MPT), lambda t: (t, 0, 0),
+            pl.BlockSpec((None, 1, CH), lambda t, c: (t, 0, c),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, 128), lambda t: (t, 0, 0),
+            pl.BlockSpec((None, 1, 128), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.SMEM),
             tspec, tspec, tspec,
         ],
         out_specs=pl.BlockSpec(
-            (None, 3, MPT), lambda t: (t, 0, 0), memory_space=pltpu.SMEM
+            (None, 3, CH), lambda t, c: (t, 0, c), memory_space=pltpu.SMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 3, MPT), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
     )(data, ids, counts, pad_kmaj(idx), pad_kmaj(gz), pad_kmaj(gd))
 
     flat_ids = ids.reshape(-1)
