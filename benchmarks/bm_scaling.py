@@ -70,16 +70,22 @@ step = make_sharded_generic_train_step(
     model, opt, mesh,
     static_model_kwargs=dict(evaluation_mode=EvaluationMode.TRAINING),
 )
-params, opt_state, loss = step(params, opt_state, batch, jax.random.PRNGKey(0))
-jax.block_until_ready(loss)
-t0 = time.perf_counter()
-iters = 10
-for i in range(iters):
+for i in range(3):  # warmup (compile + thread-pool spin-up)
     params, opt_state, loss = step(
         params, opt_state, batch, jax.random.PRNGKey(i)
     )
 jax.block_until_ready(loss)
-dt = (time.perf_counter() - t0) / iters
+dts = []
+for rep in range(3):
+    t0 = time.perf_counter()
+    iters = 10
+    for i in range(iters):
+        params, opt_state, loss = step(
+            params, opt_state, batch, jax.random.PRNGKey(i)
+        )
+    jax.block_until_ready(loss)
+    dts.append((time.perf_counter() - t0) / iters)
+dt = sorted(dts)[1]  # median of 3 repeats
 rays_per_s = N_RAYS * n / dt
 
 # sharded raster fwd+bwd
@@ -90,12 +96,17 @@ fv = tm.verts_padded()[0][tm.faces_padded()[0]]
 valid = tm.faces_padded()[0, :, 0] >= 0
 f = jax.jit(lambda v: sharded_silhouette_loss_and_grad(
     v, valid, (64, 64), mesh))
-jax.block_until_ready(f(fv))
-t0 = time.perf_counter()
-for _ in range(5):
+for _ in range(3):
     out = f(fv)
 jax.block_until_ready(out)
-raster_ms = (time.perf_counter() - t0) / 5 * 1e3
+rts = []
+for rep in range(3):
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = f(fv)
+    jax.block_until_ready(out)
+    rts.append((time.perf_counter() - t0) / 10 * 1e3)
+raster_ms = sorted(rts)[1]
 
 print(json.dumps({
     "n": n, "rays_per_s": rays_per_s, "step_ms": dt * 1e3,
@@ -104,43 +115,77 @@ print(json.dumps({
 """
 
 
-def main():
-    sizes = [1, 2, 4, 8]
-    rows = []
-    for n in sizes:
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = (
-            env.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={n}"
-        )
-        env.pop("PYTHONPATH", None)
-        out = subprocess.run(
-            [sys.executable, "-c", _CHILD, str(n)],
-            capture_output=True, text=True, env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        if not line:
-            print(f"n={n} FAILED:\n{out.stderr[-2000:]}")
-            continue
-        row = json.loads(line[-1])
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+def _run_child(n: int, cores: "list[int] | None"):
+    """Run one mesh size in a subprocess; optionally pin it to `cores`."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n}"
+    )
+    env.pop("PYTHONPATH", None)
+    cmd = [sys.executable, "-c", _CHILD, str(n)]
+    if cores is not None:
+        cmd = ["taskset", "-c", ",".join(map(str, cores))] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not line:
+        print(f"n={n} cores={cores} FAILED:\n{out.stderr[-2000:]}")
+        return None
+    row = json.loads(line[-1])
+    print(json.dumps(row), flush=True)
+    return row
 
-    if rows and rows[0]["n"] == 1:
-        base = rows[0]["rays_per_s"]
-        for r in rows:
+
+def main():
+    ncores = os.cpu_count() or 1
+
+    # Mode 1 (calibrated): n host cores for n devices, so per-device
+    # resources are constant across sizes and efficiency-vs-linear is
+    # meaningful (a lower bound: the shards still share caches/memory BW
+    # and pay real collective cost).  Only sizes with enough host cores.
+    core_scaled = []
+    for n in [1, 2, 4, 8]:
+        if n > ncores:
+            break
+        row = _run_child(n, cores=list(range(n)))
+        if row:
+            core_scaled.append(row)
+    if core_scaled and core_scaled[0]["n"] == 1:
+        base = core_scaled[0]["rays_per_s"]
+        for r in core_scaled:
             r["efficiency_vs_linear"] = r["rays_per_s"] / (base * r["n"])
+
+    # Mode 2 (structure-validating): every size gets the whole machine.
+    # With n devices sharing a fixed pool, per-device resources FALL with
+    # n, so "efficiency" is not well-defined here (a single XLA CPU device
+    # also underuses the pool, which made the old n=1 baseline read
+    # superlinear at n=2).  Raw rates only; oversubscribed sizes flagged.
+    shared_pool = []
+    for n in [1, 2, 4, 8]:
+        row = _run_child(n, cores=None)
+        if row:
+            row["oversubscribed"] = n > ncores
+            shared_pool.append(row)
+
     with open("SCALING.json", "w") as f:
         json.dump(
             {
                 "note": (
-                    "virtual CPU devices sharing host cores: efficiency is"
-                    " a lower bound; structure-validating, not ICI-"
-                    "representative"
+                    "virtual CPU devices: core_scaled pins n cores to n"
+                    " devices (constant per-device resources; efficiency"
+                    " meaningful as a lower bound), shared_pool gives every"
+                    " size the whole host (raw rates only; efficiency"
+                    " undefined, n>ncores oversubscribed). Neither is"
+                    " ICI-representative; on a real pod this harness runs"
+                    " unmodified."
                 ),
-                "rows": rows,
+                "host_cores": ncores,
+                "core_scaled": core_scaled,
+                "shared_pool": shared_pool,
             },
             f,
             indent=1,
