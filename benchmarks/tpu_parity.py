@@ -6,7 +6,16 @@ ladder by comparing the compiled Pallas path against the oracle at
 256/512/1024^2 on real hardware — the sizes where binning/SMEM-streaming
 bugs would hide.  Writes PARITY_TPU.json.
 
-Run (cwd=/root/repo, no PYTHONPATH): python -m benchmarks.tpu_parity
+Run (cwd=/root/repo, no PYTHONPATH):
+    python -m benchmarks.tpu_parity            # canary set (~fast, bench gate)
+    python -m benchmarks.tpu_parity --full     # full oracle ladder (manual)
+
+The canary set is what bench.py's time-boxed gate runs (VERDICT r3 #1):
+one true-oracle row at ico2/256² plus the ico6/1024² MFT self-consistency
+row — the two cheapest rows that still cross a compiled-Mosaic boundary
+(measured on the axon tunnel: ~1 min + ~2 min incl. first-touch penalty;
+the ico4/512² oracle row alone is ~3.5 min, too slow for the gate box).
+The slower XLA-oracle scans (ico4+, 1024² windows) live only in --full.
 """
 
 from __future__ import annotations
@@ -134,6 +143,10 @@ CONFIGS = [
     (5, 1024, 8, 1e-5, True, 128),
 ]
 
+# Indices into CONFIGS for the fast bench-gate canary; len(CONFIGS) is the
+# ico6 MFT self-consistency row (no oracle scan, Pallas-only, cheap).
+CANARY = [0, len(CONFIGS)]
+
 
 def ico6_mft_consistency():
     """ico6 @ 1024^2: the Pallas path must produce identical results
@@ -162,26 +175,40 @@ def ico6_mft_consistency():
     }
 
 
-def main():
+def main(full: bool, child_timeout_s: float = 240.0):
     """Each config runs in its own subprocess: the axon TPU worker
     intermittently crashes under the oracle's long scans (an XLA-runtime
     issue, not a kernel-parity one), so a crash is retried once and then
-    recorded as runtime_crash rather than poisoning the whole run."""
+    recorded as runtime_crash rather than poisoning the whole run.
+
+    Canary mode (default, what bench.py gates on) runs only CANARY rows;
+    --full runs the whole ladder.  Each child gets a hard timeout so a
+    hung runtime cannot starve the driver's bench budget (r3 failure)."""
+    import datetime
     import os
     import subprocess
     import sys
 
+    indices = list(range(len(CONFIGS) + 1)) if full else CANARY
     rows = []
-    for i in range(len(CONFIGS) + 1):
+    for i in indices:
         row = None
+        out = None
         for attempt in range(2):
-            out = subprocess.run(
-                [sys.executable, "-m", "benchmarks.tpu_parity", str(i)],
-                capture_output=True, text=True,
-                cwd=os.path.dirname(
-                    os.path.dirname(os.path.abspath(__file__))
-                ),
-            )
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-m", "benchmarks.tpu_parity",
+                     str(i)],
+                    capture_output=True, text=True,
+                    timeout=child_timeout_s,
+                    cwd=os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__))
+                    ),
+                )
+            except subprocess.TimeoutExpired:
+                row = {"config": f"cfg{i}", "runtime_crash": True,
+                       "stderr_tail": f"timeout>{child_timeout_s}s"}
+                break
             lines = [
                 l for l in out.stdout.splitlines() if l.startswith("{")
             ]
@@ -191,7 +218,7 @@ def main():
         if row is None:
             row = {
                 "config": f"cfg{i}", "runtime_crash": True,
-                "stderr_tail": out.stderr[-300:],
+                "stderr_tail": out.stderr[-300:] if out else "",
             }
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -209,24 +236,39 @@ def main():
         for r in rows
     )
     n_crash = sum(1 for r in rows if r.get("runtime_crash"))
+    dev = jax.devices()[0]
     with open("PARITY_TPU.json", "w") as f:
         json.dump(
-            {"all_ok": ok, "n_runtime_crash": n_crash, "rows": rows}, f,
+            {
+                "all_ok": ok,
+                "n_runtime_crash": n_crash,
+                "mode": "full" if full else "canary",
+                "timestamp": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).isoformat(timespec="seconds"),
+                "device": f"{dev.platform}:{dev.device_kind}",
+                "jax_version": jax.__version__,
+                "rows": rows,
+            },
+            f,
             indent=1,
         )
     print("PARITY_TPU.json written, all_ok =", ok)
+    return ok
 
 
 if __name__ == "__main__":
     import sys
 
-    if len(sys.argv) > 1:  # child mode: run one config
+    argv = [a for a in sys.argv[1:] if a != "--full"]
+    full = "--full" in sys.argv[1:]
+    if argv:  # child mode: run one config
         assert jax.default_backend() == "tpu", "run on the TPU chip"
-        i = int(sys.argv[1])
+        i = int(argv[0])
         if i == len(CONFIGS):
             row = ico6_mft_consistency()
         else:
             row = one_config(*CONFIGS[i])
         print(json.dumps(row), flush=True)
     else:
-        main()
+        raise SystemExit(0 if main(full) else 1)
