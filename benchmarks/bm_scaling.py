@@ -17,10 +17,14 @@ Run: python -m benchmarks.bm_scaling
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import subprocess
 import sys
+
+CHILD_TIMEOUT_S = 900.0
 
 _CHILD = """
 import json, os, sys, time
@@ -115,6 +119,28 @@ print(json.dumps({
 """
 
 
+def _physical_cores() -> "list[int]":
+    """One logical CPU per physical core (lowest sibling), so core-scaled
+    pinning is not skewed by SMT sibling threads sharing an execution core
+    (advisor r3).  Falls back to all logical CPUs if sysfs is absent."""
+    seen = {}
+    for path in sorted(glob.glob("/sys/devices/system/cpu/cpu[0-9]*")):
+        cpu = int(os.path.basename(path)[3:])
+        try:
+            with open(os.path.join(path, "topology/core_id")) as f:
+                core = int(f.read())
+            with open(
+                os.path.join(path, "topology/physical_package_id")
+            ) as f:
+                pkg = int(f.read())
+        except OSError:
+            continue
+        seen.setdefault((pkg, core), cpu)
+    if seen:
+        return sorted(seen.values())
+    return list(range(os.cpu_count() or 1))
+
+
 def _run_child(n: int, cores: "list[int] | None"):
     """Run one mesh size in a subprocess; optionally pin it to `cores`."""
     env = dict(os.environ)
@@ -126,11 +152,23 @@ def _run_child(n: int, cores: "list[int] | None"):
     env.pop("PYTHONPATH", None)
     cmd = [sys.executable, "-c", _CHILD, str(n)]
     if cores is not None:
-        cmd = ["taskset", "-c", ",".join(map(str, cores))] + cmd
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", ",".join(map(str, cores))] + cmd
+        else:  # no taskset (macOS/minimal images): run unpinned
+            print(f"n={n}: taskset unavailable, running unpinned",
+                  flush=True)
+            cores = None
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, env=env,
+            timeout=CHILD_TIMEOUT_S,
+            cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            ),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"n={n} cores={cores} FAILED: timeout>{CHILD_TIMEOUT_S}s")
+        return None
     line = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not line:
         print(f"n={n} cores={cores} FAILED:\n{out.stderr[-2000:]}")
@@ -141,7 +179,8 @@ def _run_child(n: int, cores: "list[int] | None"):
 
 
 def main():
-    ncores = os.cpu_count() or 1
+    phys = _physical_cores()
+    ncores = len(phys)
 
     # Mode 1 (calibrated): n host cores for n devices, so per-device
     # resources are constant across sizes and efficiency-vs-linear is
@@ -151,7 +190,7 @@ def main():
     for n in [1, 2, 4, 8]:
         if n > ncores:
             break
-        row = _run_child(n, cores=list(range(n)))
+        row = _run_child(n, cores=phys[:n])
         if row:
             core_scaled.append(row)
     if core_scaled and core_scaled[0]["n"] == 1:
@@ -181,9 +220,11 @@ def main():
                     " size the whole host (raw rates only; efficiency"
                     " undefined, n>ncores oversubscribed). Neither is"
                     " ICI-representative; on a real pod this harness runs"
-                    " unmodified."
+                    " unmodified. Pinning uses one logical CPU per"
+                    " PHYSICAL core (SMT siblings excluded)."
                 ),
-                "host_cores": ncores,
+                "host_physical_cores": ncores,
+                "host_logical_cpus": os.cpu_count(),
                 "core_scaled": core_scaled,
                 "shared_pool": shared_pool,
             },
