@@ -57,9 +57,12 @@ def _get_lib():
                    "obj_num_normals"):
             getattr(lib, fn).restype = ctypes.c_size_t
             getattr(lib, fn).argtypes = [ctypes.c_void_p]
-        for fn in ("obj_has_face_uvs", "obj_has_face_normals"):
+        for fn in ("obj_has_face_uvs", "obj_has_face_normals",
+                   "obj_error"):
             getattr(lib, fn).restype = ctypes.c_int
             getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.obj_error_line.restype = ctypes.c_long
+        lib.obj_error_line.argtypes = [ctypes.c_void_p]
         for fn, ct in (
             ("obj_copy_verts", ctypes.c_float),
             ("obj_copy_uvs", ctypes.c_float),
@@ -78,18 +81,34 @@ def _get_lib():
         return _lib
 
 
+# error-code -> reference-style message (reference io/obj_io.py:479,
+# :486, :393, :409 — same phrasing so callers can match on substrings)
+_OBJ_ERRORS = {
+    1: "Vertex does not have 3 values. Line: %d",
+    2: "Texture does not have 2 values. Line: %d",
+    3: "Normal does not have 3 values. Line: %d",
+    4: "Face vertices can only have 3 properties. Line: %d",
+    5: "Vertex properties are inconsistent. Line: %d",
+}
+
+
 def fast_parse_obj(text: bytes):
     """Parse OBJ text natively.
 
     Returns dict(verts (V,3) f32, faces (F,3) i32, uvs, normals,
     faces_uv, faces_n) (None entries when absent), or None if the native
-    library is unavailable.
+    library is unavailable.  Raises ValueError on malformed input with
+    the same message phrasing as the reference loader.
     """
     lib = _get_lib()
     if lib is None:
         return None
     h = lib.obj_parse(text, len(text))
     try:
+        err = lib.obj_error(h)
+        if err:
+            msg = _OBJ_ERRORS.get(err, "Malformed OBJ. Line: %d")
+            raise ValueError(msg % lib.obj_error_line(h))
         nv = lib.obj_num_verts(h)
         nf = lib.obj_num_faces(h)
         nuv = lib.obj_num_uvs(h)

@@ -24,8 +24,17 @@ _Aux = namedtuple(
 )
 
 
+def _check_faces_indices(arr: np.ndarray, max_index: int) -> None:
+    """Warn on out-of-range face indices (reference io/utils.py:50
+    `_check_faces_indices` — same warning text, -1 pad allowed)."""
+    if arr.size and (
+        ((arr < 0) & (arr != -1)) | (arr >= max_index)
+    ).any():
+        warnings.warn("Faces have invalid indices")
+
+
 def _parse_face(tokens, materials_idx, faces_verts_idx, faces_normals_idx,
-                faces_textures_idx, faces_materials_idx):
+                faces_textures_idx, faces_materials_idx, line=""):
     face = tokens[1:]
     face_list = [f.split("/") for f in face]
     verts_idx, normals_idx, tex_idx = [], [], []
@@ -35,17 +44,36 @@ def _parse_face(tokens, materials_idx, faces_verts_idx, faces_normals_idx,
             tex_idx.append(int(vnt[1]))
         if len(vnt) > 2 and vnt[2] != "":
             normals_idx.append(int(vnt[2]))
-    # fan-triangulate polygons (reference obj_io.py:35-50)
+        if len(vnt) > 3:
+            raise ValueError(
+                "Face vertices can only have 3 properties. "
+                f"Face vert {vnt}, Line: {line}"
+            )
+    # triplets must be all-or-none across the face (reference obj_io.py:409)
+    if (tex_idx and len(tex_idx) != len(verts_idx)) or (
+        normals_idx and len(normals_idx) != len(verts_idx)
+    ):
+        raise ValueError(
+            f"Face {face} is an illegal statement. "
+            f"Vertex properties are inconsistent. Line: {line}"
+        )
+    # fan-triangulate polygons (reference obj_io.py:35-50); uv/normal
+    # rows are -1 padded per face so the index streams stay F-aligned
+    # even when only some faces declare them (reference obj_io.py:401)
     for i in range(len(verts_idx) - 2):
         faces_verts_idx.append(
             (verts_idx[0], verts_idx[i + 1], verts_idx[i + 2])
         )
         if tex_idx:
             faces_textures_idx.append((tex_idx[0], tex_idx[i + 1], tex_idx[i + 2]))
+        else:
+            faces_textures_idx.append((-1, -1, -1))
         if normals_idx:
             faces_normals_idx.append(
                 (normals_idx[0], normals_idx[i + 1], normals_idx[i + 2])
             )
+        else:
+            faces_normals_idx.append((-1, -1, -1))
         faces_materials_idx.append(materials_idx)
 
 
@@ -125,6 +153,13 @@ def load_obj(
 
         parsed = fast_parse_obj(text.encode("utf-8"))
         if parsed is not None:
+            _check_faces_indices(parsed["faces"], len(parsed["verts"]))
+            if parsed["faces_n"] is not None and parsed["normals"] is not None:
+                _check_faces_indices(
+                    parsed["faces_n"], len(parsed["normals"])
+                )
+            if parsed["faces_uv"] is not None and parsed["uvs"] is not None:
+                _check_faces_indices(parsed["faces_uv"], len(parsed["uvs"]))
             faces = _Faces(
                 verts_idx=jnp.asarray(parsed["faces"]),
                 normals_idx=(
@@ -171,16 +206,33 @@ def load_obj(
         if not tokens:
             continue
         if tokens[0] == "v":
-            verts.append([float(x) for x in tokens[1:4]])
+            vert = [float(x) for x in tokens[1:4]]
+            if len(vert) != 3:
+                raise ValueError(
+                    f"Vertex {vert} does not have 3 values. Line: {line}"
+                )
+            verts.append(vert)
         elif tokens[0] == "vt":
-            verts_uvs.append([float(x) for x in tokens[1:3]])
+            tx = [float(x) for x in tokens[1:3]]
+            if len(tx) != 2:
+                raise ValueError(
+                    f"Texture {tx} does not have 2 values. Line: {line}"
+                )
+            verts_uvs.append(tx)
         elif tokens[0] == "vn":
-            normals.append([float(x) for x in tokens[1:4]])
+            norm = [float(x) for x in tokens[1:4]]
+            if len(norm) != 3:
+                raise ValueError(
+                    f"Normal {norm} does not have 3 values. Line: {line}"
+                )
+            normals.append(norm)
         elif tokens[0] == "f":
             _parse_face(tokens, materials_idx, faces_verts_idx,
                         faces_normals_idx, faces_textures_idx,
-                        faces_materials_idx)
-        elif tokens[0] == "mtllib" and len(tokens) > 1:
+                        faces_materials_idx, line=line)
+        elif tokens[0] == "mtllib":
+            if len(tokens) < 2:
+                raise ValueError("material file name is not specified")
             mtl_path = os.path.join(data_dir, tokens[1])
         elif tokens[0] == "usemtl":
             name = tokens[1]
@@ -192,8 +244,13 @@ def load_obj(
 
     def _fix(idx_list, n):
         arr = np.asarray(idx_list, np.int64).reshape(-1, 3) if idx_list else np.zeros((0, 3), np.int64)
-        # OBJ is 1-indexed; negative indices count from the end
-        arr = np.where(arr > 0, arr - 1, arr + n)
+        # OBJ is 1-indexed; negative indices count from the end.  Rows of
+        # all -1 are per-face pads (no uv/normal declared on that face)
+        # and pass through unchanged — same all(-1) rule as the
+        # reference's _format_faces_indices pad_value mask.
+        pad_row = (arr == -1).all(axis=-1, keepdims=True)
+        conv = np.where(arr > 0, arr - 1, arr + n)
+        arr = np.where(pad_row, arr, conv)
         return arr.astype(np.int32)
 
     verts = jnp.asarray(np.asarray(verts, np.float32).reshape(-1, 3))
@@ -207,17 +264,21 @@ def load_obj(
         if verts_uvs
         else None
     )
-    faces_verts = jnp.asarray(_fix(faces_verts_idx, V))
-    faces_norm = (
-        jnp.asarray(_fix(faces_normals_idx, len(normals)))
-        if faces_normals_idx
-        else None
-    )
-    faces_tex = (
-        jnp.asarray(_fix(faces_textures_idx, len(verts_uvs)))
-        if faces_textures_idx
-        else None
-    )
+    fv_np = _fix(faces_verts_idx, V)
+    _check_faces_indices(fv_np, V)
+    faces_verts = jnp.asarray(fv_np)
+    # keep the index streams only when some face actually declared them
+    # (all rows being -1 pads == the file has no face uvs/normals)
+    faces_norm = None
+    if any(row != (-1, -1, -1) for row in faces_normals_idx):
+        fn_np = _fix(faces_normals_idx, len(normals))
+        _check_faces_indices(fn_np, len(normals))
+        faces_norm = jnp.asarray(fn_np)
+    faces_tex = None
+    if any(row != (-1, -1, -1) for row in faces_textures_idx):
+        ft_np = _fix(faces_textures_idx, len(verts_uvs))
+        _check_faces_indices(ft_np, len(verts_uvs))
+        faces_tex = jnp.asarray(ft_np)
     faces_mat = jnp.asarray(np.asarray(faces_materials_idx, np.int32)) if faces_materials_idx else None
 
     material_colors, texture_images = (None, None)

@@ -31,6 +31,8 @@ def load_off_full(f) -> Dict[str, jnp.ndarray]:
             text = fh.read()
     lines = [ln.split("#")[0].strip() for ln in text.splitlines()]
     lines = [ln for ln in lines if ln]
+    if not lines:
+        raise ValueError("Not enough data in OFF file.")
     first = lines[0]
     up = first.upper()
     for kw in ("CNOFF", "COFF", "NOFF", "OFF"):
@@ -38,17 +40,30 @@ def load_off_full(f) -> Dict[str, jnp.ndarray]:
             rest = first[len(kw):].strip()
             lines = ([rest] if rest else []) + lines[1:]
             break
+    if not lines:
+        raise ValueError("Not enough data in OFF file.")
     counts = lines[0].split()
     nv, nf = int(counts[0]), int(counts[1])
-    if len(lines) < 1 + nv + nf:
-        raise ValueError("Not enough data in OFF file.")
+    if len(lines) < 1 + nv:
+        raise ValueError("Not enough vertex data.")
 
+    # vertices are consumed (and validated) before the face-count check,
+    # like the reference loader — a wrong nv surfaces as a column error
     vert_rows = [ln.split() for ln in lines[1 : 1 + nv]]
     ncols = len(vert_rows[0])
     if any(len(r) != ncols for r in vert_rows):
-        raise ValueError("Inconsistent vertex rows in OFF file.")
+        raise ValueError(
+            "Inconsistent number of columns in OFF vertex rows."
+        )
     if ncols not in (3, 6, 7):
-        raise ValueError(f"Bad vertex data ({ncols} columns).")
+        raise ValueError(f"Bad number of columns in vertex data ({ncols}).")
+
+    if len(lines) < 1 + nv + nf:
+        raise ValueError("Not enough face data.")
+    if len(lines) > 1 + nv + nf:
+        raise ValueError(
+            f"Extra data at end of file: {lines[1 + nv + nf]}"
+        )
     vdata = np.asarray([[float(x) for x in r] for r in vert_rows], np.float32)
     verts = vdata[:, :3]
     verts_colors = None
@@ -66,6 +81,10 @@ def load_off_full(f) -> Dict[str, jnp.ndarray]:
         n = int(tokens[0])
         if n < 3:
             raise ValueError("Faces must have at least 3 vertices.")
+        if len(tokens) < 1 + n:
+            raise ValueError(
+                "A line of face data did not have the specified length."
+            )
         poly = [int(t) for t in tokens[1 : 1 + n]]
         ctoks = tokens[1 + n :]
         if n_colors is None:

@@ -37,6 +37,23 @@ class _Element:
         self.properties: List[_Property] = []
 
 
+def _ply_type(tok: str) -> Tuple[str, int]:
+    """Datatype lookup with the reference's error text (ply_io.py header
+    parsing: 'Invalid datatype: <tok>')."""
+    if tok not in _PLY_TYPES:
+        raise ValueError(f"Invalid datatype: {tok}")
+    return _PLY_TYPES[tok]
+
+
+def _add_property(elem: _Element, prop: _Property) -> None:
+    if any(p.name == prop.name for p in elem.properties):
+        raise ValueError(
+            f"Cannot have two properties called {prop.name} in"
+            f" {elem.name}."
+        )
+    elem.properties.append(prop)
+
+
 def _parse_header(fh) -> Tuple[List[_Element], str]:
     line = fh.readline().strip()
     if line != b"ply":
@@ -48,26 +65,42 @@ def _parse_header(fh) -> Tuple[List[_Element], str]:
         if not line:
             raise ValueError("EOF in header")
         tokens = line.decode("ascii").strip().split()
-        if not tokens or tokens[0] == "comment":
+        if not tokens or tokens[0] in ("comment", "obj_info"):
             continue
         if tokens[0] == "format":
             fmt = tokens[1]
         elif tokens[0] == "element":
-            elements.append(_Element(tokens[1], int(tokens[2])))
+            if len(tokens) != 3:
+                raise ValueError(f"Invalid line: {line.decode('ascii')!r}")
+            if elements and not elements[-1].properties:
+                raise ValueError("Found an element with no properties.")
+            try:
+                count = int(tokens[2])
+            except ValueError:
+                raise ValueError(
+                    f"Number of items for {tokens[1]} was not a number."
+                ) from None
+            elements.append(_Element(tokens[1], count))
         elif tokens[0] == "property":
             if not elements:
                 raise ValueError("Encountered property before any element.")
             if tokens[1] == "list":
-                elements[-1].properties.append(
-                    _Property(tokens[4], _PLY_TYPES[tokens[3]][0], True,
-                              _PLY_TYPES[tokens[2]][0])
+                _add_property(
+                    elements[-1],
+                    _Property(tokens[4], _ply_type(tokens[3])[0], True,
+                              _ply_type(tokens[2])[0]),
                 )
             else:
-                elements[-1].properties.append(
-                    _Property(tokens[2], _PLY_TYPES[tokens[1]][0])
+                _add_property(
+                    elements[-1],
+                    _Property(tokens[2], _ply_type(tokens[1])[0]),
                 )
         elif tokens[0] == "end_header":
+            if elements and not elements[-1].properties:
+                raise ValueError("Found an element with no properties.")
             break
+        else:
+            raise ValueError(f"Invalid line: {line.decode('ascii').strip()!r}")
     if fmt is None:
         raise ValueError("No format line found.")
     return elements, fmt
@@ -76,18 +109,40 @@ def _parse_header(fh) -> Tuple[List[_Element], str]:
 def _read_element_ascii(fh, elem: _Element):
     rows = []
     list_data = []
+    has_list = any(p.is_list for p in elem.properties)
     for _ in range(elem.count):
-        tokens = fh.readline().decode("ascii").strip().split()
+        line = fh.readline()
+        if not line:
+            raise ValueError(f"Not enough data for {elem.name}.")
+        tokens = line.decode("ascii").strip().split()
         i = 0
         row = []
         lrow = []
-        for prop in elem.properties:
-            if prop.is_list:
-                n = int(tokens[i]); i += 1
-                lrow.append([float(t) for t in tokens[i : i + n]])
-                i += n
-            else:
-                row.append(float(tokens[i])); i += 1
+        try:
+            for prop in elem.properties:
+                if prop.is_list:
+                    n = int(tokens[i]); i += 1
+                    if i + n > len(tokens):
+                        raise ValueError(
+                            f"A line of {elem.name} data did not have"
+                            " the specified length."
+                        )
+                    lrow.append([float(t) for t in tokens[i : i + n]])
+                    i += n
+                else:
+                    row.append(float(tokens[i])); i += 1
+        except IndexError:
+            raise ValueError(
+                f"Inconsistent data for {elem.name}."
+            ) from None
+        if i != len(tokens):
+            # leftover values on the line
+            if has_list:
+                raise ValueError(
+                    f"A line of {elem.name} data did not have the"
+                    " specified length."
+                )
+            raise ValueError(f"Inconsistent data for {elem.name}.")
         rows.append(row)
         list_data.append(lrow)
     return rows, list_data
@@ -140,6 +195,9 @@ def _load_ply_raw(f):
             else:
                 rows, lists = _read_element_binary(fh, elem, endian)
             out[elem.name] = (elem, np.asarray(rows, np.float64), lists)
+        trailing = fh.read()
+        if trailing and trailing.strip():
+            raise ValueError("Extra data at end of file.")
         return out
     finally:
         if own:
