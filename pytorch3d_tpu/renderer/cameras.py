@@ -162,9 +162,22 @@ class CamerasBase:
         return kwargs.get("principal_point", getattr(self, "principal_point", None))
 
     def __getitem__(self, index):
+        n = len(self)
         if isinstance(index, int):
+            # jnp indexing clamps out-of-range silently; the reference's
+            # TensorAccessor raises, so mirror the strict bounds check
+            if not -n <= index < n:
+                raise IndexError(
+                    f"index {index} out of range for batch size {n}"
+                )
             index = [index]
         if isinstance(index, (list, tuple)):
+            if any(
+                isinstance(i, int) and not -n <= i < n for i in index
+            ):
+                raise IndexError(
+                    f"index {index} out of range for batch size {n}"
+                )
             index = jnp.asarray(index)
         return jax.tree_util.tree_map(lambda x: x[index], self)
 

@@ -63,6 +63,14 @@ class TensorProperties:
         import copy
 
         if isinstance(index, int):
+            # jnp indexing clamps silently; match the reference's strict
+            # bounds check (TensorAccessor raises on a bad batch index)
+            if not -self._N <= index < self._N:
+                raise IndexError(
+                    f"index {index} out of range for batch size {self._N}"
+                )
+            if index < 0:
+                index += self._N
             index = slice(index, index + 1)
         out = copy.copy(self)
         n = None
