@@ -1,0 +1,324 @@
+"""Convergence proof for two more model families (VERDICT r3 directive #6):
+a TensoRF-style voxel-grid implicit function and an SDF/IDR sphere-tracing
+config, trained through our implicitron GenericModel on the SAME synthetic
+scenes as the NeRF TRAIN_PARITY run and evaluated through `eval_batch`.
+
+The reference control for these scenes is the torch NeRF curve
+(TRAIN_PARITY_ref_{scene}.json from benchmarks/train_parity.py); the
+voxel/SDF rows therefore report an HONEST cross-family delta against that
+control (the reference's own voxel/SDF trainers need CO3D-scale data that
+is egress-blocked here — reference
+implicitron/models/implicit_function/voxel_grid_implicit_function.py,
+renderer/sdf_renderer.py).
+
+Subcommands (run from /root/repo; scenes from train_parity gen):
+  python -m benchmarks.train_parity_families ours --family voxel --scene cow
+  python -m benchmarks.train_parity_families ours --family sdf --scene cow
+  python -m benchmarks.train_parity_families report
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from types import SimpleNamespace
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA_DIR = os.path.join(REPO, "tests", "data", "train_parity")
+
+HP = dict(
+    image_size=64,
+    n_rays=512,
+    n_pts=32,
+    steps=2000,
+    eval_every=250,
+)
+FAMILIES = ("voxel", "sdf")
+SCENES = ("cow", "spheres")
+
+
+def _load_scene(scene: str):
+    d = np.load(os.path.join(DATA_DIR, f"{scene}.npz"))
+    images = d["images"].astype(np.float32)
+    test_idx = set(int(i) for i in d["test_idx"])
+    train_idx = [i for i in range(len(images)) if i not in test_idx]
+    # scenes are rendered on a white background: fg = non-white pixels
+    fg = (images.min(axis=-1, keepdims=True) < 0.995).astype(np.float32)
+    return d, images, fg, train_idx, sorted(test_idx)
+
+
+def _build_model(family: str):
+    from pytorch3d_tpu.implicitron.models.generic_model import GenericModel
+
+    S = HP["image_size"]
+    common = dict(
+        render_image_width=S,
+        render_image_height=S,
+        num_passes=1,
+        chunk_size_grid=0,
+        raysampler_args=dict(
+            n_pts_per_ray_training=HP["n_pts"],
+            n_pts_per_ray_evaluation=HP["n_pts"],
+            n_rays_per_image_sampled_from_mask=HP["n_rays"],
+            scene_extent=2.0,
+            scene_center=(0.0, 0.0, 0.0),
+        ),
+        loss_weights={
+            "loss_rgb_mse": 1.0,
+            "loss_prev_stage_rgb_mse": 1.0,
+            "loss_mask_bce": 0.0,
+            "loss_prev_stage_mask_bce": 0.0,
+        },
+    )
+    if family == "voxel":
+        return GenericModel(
+            implicit_function_class_type="VoxelGridImplicitFunction",
+            implicit_function_args=dict(
+                grid_type="vm",
+                resolution=(48, 48, 48),
+                n_components=24,
+                n_features_color=27,
+                n_hidden_color=32,
+                scene_extent=2.0,
+            ),
+            **common,
+        ), 5e-3
+    if family == "sdf":
+        common["loss_weights"]["loss_mask_bce"] = 1.0
+        return GenericModel(
+            renderer_class_type="SignedDistanceFunctionRenderer",
+            renderer_args=dict(
+                ray_tracer_args=dict(n_steps=24, sphere_tracing_iters=8)
+            ),
+            implicit_function_class_type="IdrFeatureField",
+            implicit_function_args=dict(
+                dims=(64, 64, 64),
+                skip_in=(2,),
+                n_harmonic_functions_xyz=4,
+            ),
+            **common,
+        ), 5e-4
+    raise ValueError(family)
+
+
+def run_ours(family: str, scene: str, steps: int) -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pytorch3d_tpu.implicitron.evaluation.evaluate_new_view_synthesis import (
+        eval_batch,
+    )
+    from pytorch3d_tpu.implicitron.models.renderer.base import EvaluationMode
+    from pytorch3d_tpu.models.nerf.utils import calc_psnr
+    from pytorch3d_tpu.renderer import FoVPerspectiveCameras
+
+    d, images, fg, train_idx, test_idx = _load_scene(scene)
+    S = HP["image_size"]
+
+    def cam(i):
+        return FoVPerspectiveCameras.create(
+            R=jnp.asarray(d["R"][i : i + 1]),
+            T=jnp.asarray(d["T"][i : i + 1]),
+            fov=float(d["fov"]),
+            znear=float(d["znear"]),
+            zfar=float(d["zfar"]),
+        )
+
+    model, lr = _build_model(family)
+    batch0 = dict(
+        image_rgb=jnp.asarray(images[0:1]),
+        camera=cam(0),
+        fg_probability=jnp.asarray(fg[0:1]),
+    )
+    params = model.init(
+        jax.random.PRNGKey(1), key=jax.random.PRNGKey(2),
+        evaluation_mode=EvaluationMode.TRAINING, **batch0
+    )
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, image, R, T, fgp, key):
+        cams = FoVPerspectiveCameras.create(
+            R=R, T=T, fov=float(d["fov"]), znear=float(d["znear"]),
+            zfar=float(d["zfar"]),
+        )
+
+        def loss_fn(p):
+            preds = model.apply(
+                p, image_rgb=image, camera=cams, fg_probability=fgp,
+                evaluation_mode=EvaluationMode.TRAINING, key=key,
+            )
+            return preds["objective"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    @jax.jit
+    def render_full(params, R, T):
+        cams = FoVPerspectiveCameras.create(
+            R=R, T=T, fov=float(d["fov"]), znear=float(d["znear"]),
+            zfar=float(d["zfar"]),
+        )
+        preds = model.apply(
+            params, image_rgb=None, camera=cams, fg_probability=None,
+            evaluation_mode=EvaluationMode.EVALUATION,
+            key=jax.random.PRNGKey(0),
+        )
+        return (
+            preds["images_render"], preds["masks_render"],
+            preds["depths_render"],
+        )
+
+    rng = np.random.RandomState(7)
+    key = jax.random.PRNGKey(0)
+    curve = []
+    t0 = time.time()
+    for it in range(1, steps + 1):
+        i = train_idx[rng.randint(len(train_idx))]
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(
+            params, opt_state, jnp.asarray(images[i : i + 1]),
+            jnp.asarray(d["R"][i : i + 1]), jnp.asarray(d["T"][i : i + 1]),
+            jnp.asarray(fg[i : i + 1]), sub,
+        )
+        if it % HP["eval_every"] == 0 or it == steps:
+            psnrs = []
+            for j in test_idx:
+                img_r, _, _ = render_full(
+                    params, jnp.asarray(d["R"][j : j + 1]),
+                    jnp.asarray(d["T"][j : j + 1]),
+                )
+                pred = jnp.reshape(img_r, (1, S, S, 3))
+                psnrs.append(
+                    float(calc_psnr(pred, jnp.asarray(images[j : j + 1])))
+                )
+            curve.append(
+                {
+                    "step": it,
+                    "test_psnr": float(np.mean(psnrs)),
+                    "train_loss": float(loss),
+                    "wall_s": time.time() - t0,
+                }
+            )
+            print(json.dumps(curve[-1]), flush=True)
+
+    # final: the full implicitron eval protocol on each test view
+    import jax.numpy as jnp  # noqa: F811
+
+    eval_rows = []
+    for j in test_idx:
+        img_r, mask_r, depth_r = render_full(
+            params, jnp.asarray(d["R"][j : j + 1]),
+            jnp.asarray(d["T"][j : j + 1]),
+        )
+        frame = SimpleNamespace(
+            image_rgb=jnp.asarray(images[j : j + 1]),
+            fg_probability=jnp.asarray(fg[j : j + 1]),
+            depth_map=None,
+            camera=cam(j),
+            frame_type=["test_unseen"],
+        )
+        render = dict(
+            images_render=jnp.reshape(img_r, (1, S, S, 3)),
+            masks_render=(
+                jnp.reshape(mask_r, (1, S, S, 1))
+                if mask_r is not None
+                else None
+            ),
+            depths_render=(
+                jnp.reshape(depth_r, (1, S, S, 1))
+                if depth_r is not None
+                else None
+            ),
+        )
+        eval_rows.append(eval_batch(frame, render, bg_color="white"))
+    eval_mean = {
+        k: float(np.mean([r[k] for r in eval_rows]))
+        for k in eval_rows[0]
+        if isinstance(eval_rows[0][k], (int, float))
+    }
+    print("eval_batch means:", json.dumps(eval_mean), flush=True)
+
+    out_path = os.path.join(
+        REPO, f"TRAIN_PARITY_ours_{family}_{scene}.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "framework": f"pytorch3d_tpu ({family} GenericModel)",
+                "backend": __import__("jax").default_backend(),
+                "scene": scene,
+                "family": family,
+                "hp": {k: str(v) for k, v in HP.items()},
+                "curve": curve,
+                "eval_batch_means": eval_mean,
+            },
+            f,
+            indent=1,
+        )
+    print(f"wrote {out_path}")
+
+
+def report() -> None:
+    """Fold family curves into TRAIN_PARITY.json under `families`."""
+    path = os.path.join(REPO, "TRAIN_PARITY.json")
+    with open(path) as f:
+        payload = json.load(f)
+    fams = {}
+    for family in FAMILIES:
+        for scene in SCENES:
+            p = os.path.join(
+                REPO, f"TRAIN_PARITY_ours_{family}_{scene}.json"
+            )
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                run = json.load(f)
+            entry = {
+                "curve": run["curve"],
+                "final_psnr": run["curve"][-1]["test_psnr"],
+                "eval_batch_means": run.get("eval_batch_means"),
+                "backend": run.get("backend"),
+            }
+            ref_p = os.path.join(REPO, f"TRAIN_PARITY_ref_{scene}.json")
+            if os.path.exists(ref_p):
+                with open(ref_p) as f:
+                    ref = json.load(f)
+                entry["ref_nerf_final_psnr"] = ref["curve"][-1]["test_psnr"]
+                entry["psnr_delta_vs_ref_nerf"] = (
+                    entry["final_psnr"] - entry["ref_nerf_final_psnr"]
+                )
+                entry["note"] = (
+                    "delta is cross-family (our "
+                    f"{family} vs reference NeRF control on {scene}); the"
+                    " reference has no small-scene voxel/SDF trainer to"
+                    " serve as a same-family control"
+                )
+            fams[f"{family}_{scene}"] = entry
+    payload["families"] = fams
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(fams, indent=1)[:1500])
+    print(f"updated {path}")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["ours", "report"])
+    ap.add_argument("--family", default="voxel", choices=FAMILIES)
+    ap.add_argument("--scene", default="cow", choices=SCENES)
+    ap.add_argument("--steps", type=int, default=HP["steps"])
+    args = ap.parse_args()
+    if args.cmd == "ours":
+        run_ours(args.family, args.scene, args.steps)
+    else:
+        report()
