@@ -66,6 +66,18 @@ def flops_of(fn, *args) -> float:
         return 0.0
 
 
+def fused_trunk_flops(n_rays: int, n_pts: int, grad: bool) -> float:
+    """Analytic FLOPs of the fused-Pallas mlp256x8 trunk (XLA's
+    cost_analysis reports 0 for custom calls, so the rows add these
+    back).  Layer input dims for 63-dim embeds, skip at 5:
+    63 + 4*256 + 319 + 2*256 = 1918; coarse evaluates n_pts points/ray,
+    fine re-evaluates the combined n_pts + n_pts_fine samples."""
+    sum_in = 63 + 4 * 256 + (256 + 63) + 2 * 256
+    pts_total = n_rays * n_pts + n_rays * (2 * n_pts)
+    f = 2.0 * pts_total * sum_in * 256
+    return 3.0 * f if grad else f
+
+
 def main():
     rows = []
 
@@ -98,6 +110,10 @@ def main():
 
             fwd = jax.jit(loss_fn)
             f_fwd = flops_of(loss_fn, params, key)
+            if jax.default_backend() == "tpu":
+                # trunk runs inside pallas_call -> invisible to
+                # cost_analysis; add its analytic FLOPs back
+                f_fwd += fused_trunk_flops(n_rays, 64, grad=False)
             emit(
                 f"fwd_{tag}_{n_rays}rays",
                 time_fn(lambda: fwd(params, key)) * 1e3,
@@ -106,6 +122,8 @@ def main():
 
             grad = jax.jit(jax.grad(loss_fn))
             f_grad = flops_of(jax.grad(loss_fn), params, key)
+            if jax.default_backend() == "tpu":
+                f_grad += fused_trunk_flops(n_rays, 64, grad=True)
             emit(
                 f"grad_{tag}_{n_rays}rays",
                 time_fn(lambda: grad(params, key)) * 1e3,
@@ -125,6 +143,58 @@ def main():
                 f"opt_{tag}_{n_rays}rays",
                 time_fn(lambda: optj(params, opt_state, g0)) * 1e3,
             )
+
+    # ---- shape probes (VERDICT r3 #4): is 0.27 the ceiling at 256-wide?
+    # An 8-layer Dense stack with EXACTLY the mlp256x8 layer shapes (skip
+    # concat included), isolated from all NeRF plumbing, measures what the
+    # MXU can achieve at this layer width; the 512-wide row shows the
+    # bound is the layer WIDTH (HBM arithmetic intensity), not the model.
+    import flax.linen as nn
+
+    class _MLPProbe(nn.Module):
+        hidden: int
+        n_layers: int = 8
+        skips: tuple = (5,)
+
+        @nn.compact
+        def __call__(self, x):
+            z = x
+            y = x
+            for li in range(self.n_layers):
+                if li in self.skips:
+                    y = jnp.concatenate([y, z], axis=-1)
+                y = nn.Dense(self.hidden, dtype=jnp.bfloat16)(y)
+                y = nn.relu(y)
+            return nn.Dense(1, dtype=jnp.bfloat16)(y)
+
+    n_points = 4096 * 64  # the coarse-pass point batch
+    for hidden in (256, 512):
+        probe = _MLPProbe(hidden=hidden)
+        x = jnp.ones((n_points, 63), jnp.bfloat16)
+        pp = probe.init(jax.random.PRNGKey(0), x)
+
+        def probe_loss(p, x):
+            return jnp.sum(probe.apply(p, x).astype(jnp.float32))
+
+        fwdp = jax.jit(probe_loss)
+        f_p = flops_of(probe_loss, pp, x)
+        emit(
+            f"mlp_shape_probe_{hidden}w_fwd",
+            time_fn(lambda: fwdp(pp, x)) * 1e3,
+            f_p,
+        )
+        gradp = jax.jit(jax.grad(probe_loss))
+        f_g = flops_of(jax.grad(probe_loss), pp, x)
+        emit(
+            f"mlp_shape_probe_{hidden}w_grad",
+            time_fn(lambda: gradp(pp, x)) * 1e3,
+            f_g,
+        )
+
+    # residual accounting: fwd minus two isolated MLP passes (coarse+fine
+    # evaluate the same point count each) = the non-MLP stream (embedding,
+    # EA raymarch, sample_pdf, sampling) — goes in PERF_ANALYSIS.md
+    # (computed offline from the rows above).
 
     # full mixed-precision step for reference (matches the grid row)
     from pytorch3d_tpu.parallel import make_nerf_train_step

@@ -24,8 +24,35 @@ from ...renderer.implicit.utils import ray_bundle_to_ray_points
 _XAVIER = nn.initializers.xavier_uniform()  # reference _xavier_init parity
 
 
+class _DenseParams(nn.Module):
+    """Holds one Dense layer's kernel/bias under the same param names as
+    `nn.Dense`, so the fused-Pallas path below shares checkpoints with
+    the layer-by-layer path."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", _XAVIER, (self.in_features, self.features)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+        return kernel, bias
+
+
 class MLPWithInputSkips(nn.Module):
-    """MLP that concatenates a skip input at given layers (reference :229)."""
+    """MLP that concatenates a skip input at given layers (reference :229).
+
+    On TPU, when the skip input IS the trunk input (the NeRF case), the
+    whole stack runs as ONE fused Pallas kernel with all weights
+    VMEM-resident (ops/fused_mlp_pallas.py) — layer-by-layer execution
+    is HBM-bound at ~0.53 MFU for 256-wide layers, the fused chain is
+    compute-bound.  Everywhere else (CPU, or distinct skip input) the
+    layer-by-layer path runs; both share the same parameters.
+    """
 
     n_layers: int
     output_dim: int
@@ -33,18 +60,54 @@ class MLPWithInputSkips(nn.Module):
     hidden_dim: int
     input_skips: Tuple[int, ...] = ()
     dtype: jnp.dtype = jnp.float32
+    use_fused_pallas: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
-        y = x
+        d_in = x.shape[-1]
+        kernels, biases = [], []
+        for li in range(self.n_layers):
+            in_dim = self.hidden_dim if li > 0 else d_in
+            if li in self.input_skips:
+                in_dim += z.shape[-1]
+            k, b = _DenseParams(
+                features=self.hidden_dim, in_features=in_dim,
+                name=f"layer{li}",
+            )()
+            kernels.append(k)
+            biases.append(b)
+
+        fused_ok = (
+            self.use_fused_pallas
+            and jax.default_backend() == "tpu"
+            and x is z  # the fused kernel concats the trunk input itself
+            and x.ndim >= 2
+            # lane alignment: Mosaic wants the hidden dim on full 128
+            # lanes; narrower configs (tiny test MLPs) stay layer-by-layer
+            and self.hidden_dim % 128 == 0
+        )
+        if fused_ok:
+            from ...ops.fused_mlp_pallas import fused_mlp
+
+            flat = x.reshape(-1, d_in).astype(self.dtype)
+            out = fused_mlp(
+                flat,
+                tuple(k.astype(self.dtype) for k in kernels),
+                tuple(b.astype(self.dtype) for b in biases),
+                tuple(self.input_skips),
+            )
+            return out.reshape(x.shape[:-1] + (self.hidden_dim,))
+
+        y = x.astype(self.dtype)
+        zc = z.astype(self.dtype)
         for li in range(self.n_layers):
             if li in self.input_skips:
-                y = jnp.concatenate([y, z], axis=-1)
-            y = nn.Dense(
-                self.hidden_dim, dtype=self.dtype, name=f"layer{li}",
-                kernel_init=_XAVIER,
-            )(y)
-            y = nn.relu(y)
+                y = jnp.concatenate([y, zc], axis=-1)
+            y = jnp.dot(
+                y, kernels[li].astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ) + biases[li].astype(jnp.float32)
+            y = nn.relu(y).astype(self.dtype)
         return y
 
 
