@@ -130,18 +130,27 @@ def main() -> None:
     mpix_s = image_size * image_size / dt / 1e6
 
     # vs_baseline = measured fraction of the fwd+bwd op-issue roofline
-    # (select + fragment emit + grad kernel ~= 2x the fine-pass candidate
-    # work; see benchmarks/PERF_ANALYSIS.md).  1.0 = speed of light.
+    # (fine-kernel + grad-kernel analytic op counts; see
+    # benchmarks/PERF_ANALYSIS.md).  1.0 = speed of light.
     vs = None
     if jax.default_backend() == "tpu":
-        from benchmarks.roofline import fine_kernel_roofline_s
+        from benchmarks.roofline import (
+            fine_kernel_roofline_s,
+            grad_kernel_roofline_s,
+        )
 
         fv = verts_ndc[0][mesh_ndc.faces_padded()[0]]
         valid = mesh_ndc.faces_padded()[0, :, 0] >= 0
         ideal_fwd = fine_kernel_roofline_s(
             fv, valid, (image_size, image_size), blur, K
         )
-        vs = round(2.0 * ideal_fwd / dt, 3)
+        # backward ideal from the grad kernel's analytic op count (was
+        # "2x the forward", which undercounted backward work ~1.9x at
+        # low K — see benchmarks/roofline.py grad_kernel_flops_per_candidate)
+        ideal_bwd = grad_kernel_roofline_s(
+            fv, valid, (image_size, image_size), blur, K
+        )
+        vs = round((ideal_fwd + ideal_bwd) / dt, 3)
     print(
         json.dumps(
             {

@@ -16,7 +16,11 @@ import sys
 import jax
 import jax.numpy as jnp
 
-from .roofline import fine_kernel_roofline_s, raster_candidates
+from .roofline import (
+    fine_kernel_roofline_s,
+    grad_kernel_roofline_s,
+    raster_candidates,
+)
 from .runner import BenchRow, time_fn, trace_dir_for, write_rows
 
 # (ico_level, image_size, faces_per_pixel, blur)
@@ -91,6 +95,10 @@ def bench_config(level: int, image_size: int, K: int, blur: float):
     fwdbwd = jax.jit(jax.grad(loss))
 
     ideal_s = fine_kernel_roofline_s(fv, valid, (image_size,) * 2, blur, K)
+    # backward ideal from the grad kernel's own analytic op count (same
+    # candidate walk, ~1.6-1.9x the forward's ops; replaces the old
+    # "2x the fine pass" convention — see grad_kernel_flops_per_candidate)
+    ideal_bwd_s = grad_kernel_roofline_s(fv, valid, (image_size,) * 2, blur, K)
     cand = raster_candidates(fv, valid, (image_size,) * 2, blur, K)
 
     rows = []
@@ -98,9 +106,7 @@ def bench_config(level: int, image_size: int, K: int, blur: float):
         dt = time_fn(
             lambda fn=fn: fn(verts), trace_dir=trace_dir_for(f"{name}_{tag}")
         )
-        # bwd replays ~the candidate work once more (select re-used, grad
-        # kernel walks the same lists); model it as 2x the fine pass.
-        ideal = ideal_s if tag == "fwd" else 2 * ideal_s
+        ideal = ideal_s if tag == "fwd" else ideal_s + ideal_bwd_s
         rows.append(
             BenchRow(
                 name=f"{name}_{tag}",

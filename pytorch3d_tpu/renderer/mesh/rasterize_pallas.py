@@ -48,6 +48,9 @@ _TILE_W = 128  # pixel-tile cols (one full lane dim)
 import os as _os
 
 _UNROLL = int(_os.environ.get("P3D_RASTER_UNROLL", "4"))
+# experiment flag: skip the per-face AD chain in the grad kernel when no
+# pixel of the tile selected the face (see _grad_kernel)
+_GRAD_SKIP = _os.environ.get("P3D_GRAD_SKIP", "0") == "1"
 # Tile-recentred affine edge functions (PERF_ANALYSIS.md headroom #1).
 # w_i = (e_center_i + dx*B_i + dy*C_i) * inv_area with ALL coefficients
 # (premultiplied by inv_area) computed subtract-first on the scalar unit
@@ -833,16 +836,20 @@ def _grad_kernel(
         cgb = [jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(3)]
         cgd = jnp.zeros((tile_h, tile_w), jnp.float32)
         hit = (fid >= 0)
+        any_m = jnp.zeros((tile_h, tile_w), jnp.bool_)
         for k in range(K):
             m = (idx_all[k] == fid) & hit
+            if _GRAD_SKIP:
+                any_m = any_m | m
             mf = m.astype(jnp.float32)
             cgz = cgz + mf * gz_all[k]
             for ch in range(3):
                 cgb[ch] = cgb[ch] + mf * gb_all[k][ch]
             cgd = cgd + mf * gd_all[k]
 
-        def local_loss(v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z):
-            # identical math to _fragments_from_gathered
+        def local_loss_zb(v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z):
+            # identical math to _fragments_from_gathered (z/bary part; the
+            # segment-distance term is differentiated in closed form below)
             e0 = (px - v1x) * (v2y - v1y) - (py - v1y) * (v2x - v1x)
             e1 = (px - v2x) * (v0y - v2y) - (py - v2y) * (v0x - v2x)
             e2 = (px - v0x) * (v1y - v0y) - (py - v0y) * (v1x - v0x)
@@ -867,22 +874,87 @@ def _grad_kernel(
                 csum = jnp.maximum(c0 + c1 + c2, 1e-5)
                 b0, b1, b2 = c0 / csum, c1 / csum, c2 / csum
             pz = b0 * v0z + b1 * v1z + b2 * v2z
-            d2 = _seg_dist2(px, py, v0x, v0y, v1x, v1y)
-            d2 = jnp.minimum(d2, _seg_dist2(px, py, v1x, v1y, v2x, v2y))
-            d2 = jnp.minimum(d2, _seg_dist2(px, py, v0x, v0y, v2x, v2y))
-            sdist = jnp.where(inside, -d2, d2)
-            return jnp.sum(
+            loss = jnp.sum(
                 cgz * pz + cgb[0] * b0 + cgb[1] * b1 + cgb[2] * b2
-                + cgd * sdist
             )
+            return loss, inside
 
-        grads = jax.grad(local_loss, argnums=tuple(range(9)))(
-            fv_ref[0, j], fv_ref[1, j], fv_ref[2, j],
-            fv_ref[3, j], fv_ref[4, j], fv_ref[5, j],
-            fv_ref[6, j], fv_ref[7, j], fv_ref[8, j],
-        )
-        for r in range(9):
-            gout_ref[r, j] = grads[r]
+        def _compute_grads():
+            v = [fv_ref[r, j] for r in range(9)]
+            grads, inside = jax.grad(
+                local_loss_zb, argnums=tuple(range(9)), has_aux=True
+            )(*v)
+            grads = list(grads)
+            v0x, v0y, _, v1x, v1y, _, v2x, v2y, _ = v
+
+            # --- segment-distance gradient, closed form (envelope theorem).
+            # For d2(p; a, b) with t = clip(dot(p-a, b-a)/|b-a|^2, 0, 1)
+            # and diff = p - a - t*(b-a):  diff . (b-a) == 0 wherever t is
+            # interior (stationarity) and dt == 0 wherever t is clamped or
+            # the segment is degenerate, so in EVERY case
+            #   d d2/da = -2*(1-t)*diff,   d d2/db = -2*t*diff
+            # — ~12 vector ops per segment endpoint-pair versus ~45 for the
+            # mechanical reverse of _seg_dist2 that jax.grad emits
+            # (EXP_GRAD_K3.json: this is where the K3 backward time went).
+            def seg(ax, ay, bx, by):
+                vx = bx - ax
+                vy = by - ay
+                l2 = vx * vx + vy * vy
+                inv_l2 = 1.0 / jnp.maximum(l2, kEpsilon)
+                tpar = ((px - ax) * vx + (py - ay) * vy) * inv_l2
+                tpar = jnp.clip(tpar, 0.0, 1.0)
+                tpar = jnp.where(l2 <= kEpsilon, 1.0, tpar)
+                dx = px - (ax + tpar * vx)
+                dy = py - (ay + tpar * vy)
+                return dx * dx + dy * dy, tpar, dx, dy
+
+            d2a, ta, dxa, dya = seg(v0x, v0y, v1x, v1y)  # edge v0-v1
+            d2b, tb, dxb, dyb = seg(v1x, v1y, v2x, v2y)  # edge v1-v2
+            d2c, tc, dxc, dyc = seg(v0x, v0y, v2x, v2y)  # edge v0-v2
+            # winner masks replicating jnp.minimum's VJP tie semantics:
+            # min(min(d2a, d2b), d2c) routes the cotangent to the first
+            # argument on ties (lax.le)
+            m_ab = d2a <= d2b
+            inner = jnp.minimum(d2a, d2b)
+            m_in = inner <= d2c
+            wa = m_in & m_ab
+            wb = m_in & (~m_ab)
+            wc = ~m_in
+            s = jnp.where(inside, -cgd, cgd)  # sign flip of covered pixels
+
+            def seg_grads(w, t, dx, dy):
+                cot = jnp.where(w, s, 0.0) * (-2.0)
+                ca = cot * (1.0 - t)
+                cb = cot * t
+                return ca * dx, ca * dy, cb * dx, cb * dy
+
+            gax, gay, gbx, gby = seg_grads(wa, ta, dxa, dya)
+            g2ax, g2ay, g2bx, g2by = seg_grads(wb, tb, dxb, dyb)
+            g3ax, g3ay, g3bx, g3by = seg_grads(wc, tc, dxc, dyc)
+            # endpoint layout: seg a = (v0, v1), seg b = (v1, v2),
+            # seg c = (v0, v2)
+            grads[0] += jnp.sum(gax + g3ax)   # v0x
+            grads[1] += jnp.sum(gay + g3ay)   # v0y
+            grads[3] += jnp.sum(gbx + g2ax)   # v1x
+            grads[4] += jnp.sum(gby + g2ay)   # v1y
+            grads[6] += jnp.sum(g2bx + g3bx)  # v2x
+            grads[7] += jnp.sum(g2by + g3by)  # v2y
+            for r in range(9):
+                gout_ref[r, j] = grads[r]
+
+        if _GRAD_SKIP:
+            # most binned faces are selected by SOME pixel of their tile,
+            # but occluded/overscanned faces are not — skip the whole AD
+            # chain for them (grad body carries no loop state, so the
+            # cond has none of the fwd kernel's VMEM round-trip cost)
+            for r in range(9):
+                gout_ref[r, j] = 0.0
+
+            @pl.when(jnp.any(any_m))
+            def _():
+                _compute_grads()
+        else:
+            _compute_grads()
         return 0
 
     # zero the dead slots' outputs, then process only live faces.
