@@ -144,4 +144,17 @@ class RegularizationMetrics(RegularizationMetricsBase):
             results[keys_prefix + "depth_neg_penalty"] = jnp.mean(
                 jnp.minimum(raymarched.depths, 0.0) ** 2
             )
+        # eikonal regularizer ||grad sdf| - 1|^2 over the SDF renderer's
+        # sample set (reference base_model.py loss_eikonal; grad_theta is
+        # produced by SignedDistanceFunctionRenderer in TRAINING mode)
+        grad_theta = (
+            raymarched.aux.get("grad_theta")
+            if raymarched is not None and raymarched.aux
+            else None
+        )
+        if grad_theta is not None:
+            norms = jnp.sqrt(
+                jnp.sum(grad_theta**2, axis=-1) + 1e-12
+            )
+            results[keys_prefix + "eikonal"] = jnp.mean((norms - 1.0) ** 2)
         return results

@@ -29,6 +29,9 @@ class SignedDistanceFunctionRenderer(BaseRenderer):
     # feature channels (the pre-round-2 behavior).
     ray_normal_coloring_network_args: Optional[Dict[str, Any]] = None
     bg_color: tuple = (0.0,)
+    # slope of the differentiable miss-mask sigmoid(-alpha * sdf)
+    # (reference sdf_renderer.py:36)
+    soft_mask_alpha: float = 50.0
 
     def __post_init__(self):
         args = dict(self.ray_tracer_args)
@@ -61,6 +64,7 @@ class SignedDistanceFunctionRenderer(BaseRenderer):
         implicit_functions: List = (),
         evaluation_mode: EvaluationMode = EvaluationMode.EVALUATION,
         object_mask: Optional[jnp.ndarray] = None,
+        key: Optional[jax.Array] = None,
         **kwargs,
     ) -> RendererOutput:
         if not implicit_functions:
@@ -90,30 +94,85 @@ class SignedDistanceFunctionRenderer(BaseRenderer):
         def sdf_only(p):
             return fn(p)[..., 0]
 
-        points, net_mask, dists = self._ray_tracer(
-            sdf_only, origins, object_mask, dirs
-        )  # (B*R, ...)
+        grad_fn = jax.grad(lambda p: jnp.sum(sdf_only(p)))
 
-        out = fn(points)  # (B*R, 1 + C)
+        # the tracer's iterative search is NOT differentiated (reference
+        # runs it under torch.no_grad, sdf_renderer.py:120); gradients
+        # re-enter through sdf_output and _the sample-network
+        # reparametrization_ below
+        points, net_mask, dists = self._ray_tracer(
+            lambda p: jax.lax.stop_gradient(sdf_only(p)),
+            origins, object_mask, dirs,
+        )  # (B*R, ...)
+        points = jax.lax.stop_gradient(points)
+        dists = jax.lax.stop_gradient(dists)
+
+        dirs_flat = dirs.reshape(-1, 3)
+        cam_flat = origins.reshape(-1, 3)
+        mask_flat = object_mask.reshape(-1)
+
+        sdf_output = fn(points)[..., 0:1]  # (B*R, 1), live gradients
+        aux: Dict[str, Any] = {}
+
+        if evaluation_mode == EvaluationMode.TRAINING:
+            surface_mask = net_mask & mask_flat
+            # differentiable surface points: t(theta) = t - (sdf(x;theta)
+            # - sdf0) / <grad sdf, d>  (IDR implicit differentiation;
+            # reference _sample_network, sdf_renderer.py:240)
+            g_surf = jax.lax.stop_gradient(grad_fn(points))
+            dot = jnp.sum(g_surf * dirs_flat, axis=-1, keepdims=True)
+            dot_sign = jnp.where(dot >= 0.0, 1.0, -1.0)
+            denom = jnp.clip(jnp.abs(dot), 1e-4) * dot_sign
+            dists_theta = dists[:, None] - (
+                sdf_output - jax.lax.stop_gradient(sdf_output)
+            ) / denom
+            pts_theta = cam_flat + dists_theta * dirs_flat
+            pts_use = jnp.where(surface_mask[:, None], pts_theta, points)
+
+            # eikonal sample set: uniform points in the bounding box +
+            # the (detached) traced points (reference sdf_renderer.py:150)
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            n_eik = max(points.shape[0] // 2, 1)
+            r = self.object_bounding_sphere
+            eik = jax.random.uniform(
+                key, (n_eik, 3), minval=-r, maxval=r
+            )
+            eik_all = jnp.concatenate([eik, points], axis=0)
+            aux["grad_theta"] = grad_fn(eik_all)
+        else:
+            surface_mask = net_mask
+            pts_use = points
+
+        out = fn(pts_use)  # (B*R, 1 + C)
         rgb_network = kwargs.get("rgb_network")
         if rgb_network is not None:
             # IDR shading: color = rgb_net(points, view dirs, SDF
             # normals, feature vectors) (reference sdf_renderer.py:52,
             # rgb_net.py:84)
             feature_vectors = out[..., 1:]
-            normals = jax.grad(lambda p: fn(p)[..., 0].sum())(points)
-            view_dirs = dirs.reshape(-1, 3)
+            normals = grad_fn(pts_use)
             features = rgb_network(
-                feature_vectors, points, normals, view_dirs
+                feature_vectors, pts_use, normals, dirs_flat
             )[..., : self.render_features_dimensions]
         else:
             features = out[..., 1 : 1 + self.render_features_dimensions]
-        features = jnp.where(net_mask[:, None], features, 0.0)
+        bg = jnp.broadcast_to(
+            jnp.asarray(self.bg_color, jnp.float32),
+            (self.render_features_dimensions,),
+        )
+        features = jnp.where(surface_mask[:, None], features, bg)
 
-        mask = net_mask.astype(jnp.float32)[:, None]
+        # differentiable mask: hard 1 on traced surfaces, soft
+        # sigmoid(-alpha * sdf) on misses — the BCE mask loss carves
+        # free space through this branch (reference sdf_renderer.py:221,
+        # eq. (7) of the IDR paper)
+        soft = jax.nn.sigmoid(-self.soft_mask_alpha * sdf_output)
+        mask = jnp.where(surface_mask[:, None], 1.0, soft)
         depth = dists[:, None]
         return RendererOutput(
             features=features.reshape((B,) + spatial + (-1,)),
             depths=depth.reshape((B,) + spatial + (1,)),
             masks=mask.reshape((B,) + spatial + (1,)),
+            aux=aux,
         )
