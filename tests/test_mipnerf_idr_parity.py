@@ -296,3 +296,129 @@ class TestSDFRgbNetwork:
             float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)
         )
         assert np.isfinite(gnorm)
+
+
+class TestSDFTrainingSemantics:
+    """The reference training path of SignedDistanceFunctionRenderer
+    (sdf_renderer.py:131-237): differentiable sample-network surface
+    points, sigmoid(-alpha*sdf) miss-mask, eikonal aux."""
+
+    def _field_and_rays(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pytorch3d_tpu.implicitron.models.implicit_function.idr_feature_field import (
+            IdrFeatureField,
+        )
+
+        field = IdrFeatureField(
+            dims=(32, 32), skip_in=(), n_harmonic_functions_xyz=2
+        )
+        pts0 = jnp.zeros((1, 3))
+        params = field.init(jax.random.PRNGKey(0), pts0)
+        return field, params
+
+    def test_geometric_init_traces_a_sphere(self):
+        """sdf ~ |x| - bias at init: negative inside, positive outside,
+        monotone along a radius (the flat-SDF failure mode regression)."""
+        import jax.numpy as jnp
+
+        field, params = self._field_and_rays()
+        radii = jnp.array([0.0, 0.5, 1.5, 2.0])
+        pts = jnp.stack([radii, jnp.zeros_like(radii), jnp.zeros_like(radii)], -1)
+        sdf = field.apply(params, pts)[..., 0]
+        assert float(sdf[0]) < 0.0, "origin must start inside"
+        assert float(sdf[-1]) > 0.0, "far field must start outside"
+        assert bool(jnp.all(jnp.diff(sdf) > 0)), "sdf must grow radially"
+
+    def test_training_mode_mask_gradient_and_eikonal_aux(self):
+        """Missed rays must carry mask gradient (soft sigmoid branch) and
+        TRAINING mode must emit the eikonal sample gradients."""
+        import jax
+        import jax.numpy as jnp
+
+        from pytorch3d_tpu.implicitron.models.renderer.base import (
+            EvaluationMode,
+            ImplicitronRayBundle,
+        )
+        from pytorch3d_tpu.implicitron.models.renderer.sdf_renderer import (
+            SignedDistanceFunctionRenderer,
+        )
+
+        field, params = self._field_and_rays()
+        renderer = SignedDistanceFunctionRenderer(
+            ray_tracer_args=dict(n_steps=8, sphere_tracing_iters=2),
+            bg_color=(1.0, 1.0, 1.0),
+        )
+        # rays that NARROWLY miss the init surface (zero crossing near
+        # r ~ bias): sdf at closest approach stays small so the sigmoid
+        # miss-mask is strictly inside (0, 1) instead of underflowing
+        R = 6
+        origins = jnp.tile(jnp.array([[3.0, 1.3, 0.0]]), (R, 1))[None]
+        dirs = jnp.tile(jnp.array([[-1.0, 0.0, 0.0]]), (R, 1))[None]
+        bundle = ImplicitronRayBundle(
+            origins=origins,
+            directions=dirs,
+            lengths=jnp.linspace(0.5, 6.0, 8)[None, None].repeat(R, 1),
+            xys=jnp.zeros((1, R, 2)),
+        )
+
+        def run(p, mode):
+            return renderer(
+                bundle,
+                implicit_functions=[
+                    lambda x, _p=p: field.apply(_p, x)
+                ],
+                evaluation_mode=mode,
+                object_mask=jnp.zeros((1, R)),  # GT says background
+                key=jax.random.PRNGKey(3),
+            )
+
+        out = run(params, EvaluationMode.TRAINING)
+        assert "grad_theta" in out.aux, "eikonal sample grads missing"
+        assert out.aux["grad_theta"].shape[-1] == 3
+        # miss-mask must be strictly inside (0, 1) — the sigmoid branch
+        m = out.masks
+        assert float(m.max()) < 1.0 and float(m.min()) > 0.0
+
+        def mask_sum(p):
+            return jnp.sum(run(p, EvaluationMode.TRAINING).masks)
+
+        g = jax.grad(
+            lambda p: mask_sum(p)
+        )(params)
+        gnorm = sum(
+            float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)
+        )
+        assert gnorm > 0.0, "mask must be differentiable on misses"
+
+    def test_eval_mode_has_no_eikonal_aux(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pytorch3d_tpu.implicitron.models.renderer.base import (
+            EvaluationMode,
+            ImplicitronRayBundle,
+        )
+        from pytorch3d_tpu.implicitron.models.renderer.sdf_renderer import (
+            SignedDistanceFunctionRenderer,
+        )
+
+        field, params = self._field_and_rays()
+        renderer = SignedDistanceFunctionRenderer(
+            ray_tracer_args=dict(n_steps=8, sphere_tracing_iters=2)
+        )
+        R = 4
+        bundle = ImplicitronRayBundle(
+            origins=jnp.tile(jnp.array([[0.0, 0.0, 3.0]]), (R, 1))[None],
+            directions=jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (R, 1))[None],
+            lengths=jnp.linspace(0.5, 6.0, 8)[None, None].repeat(R, 1),
+            xys=jnp.zeros((1, R, 2)),
+        )
+        out = renderer(
+            bundle,
+            implicit_functions=[lambda x: field.apply(params, x)],
+            evaluation_mode=EvaluationMode.EVALUATION,
+            key=jax.random.PRNGKey(0),
+        )
+        assert "grad_theta" not in out.aux
