@@ -86,8 +86,10 @@ def _build_model(family: str):
             implicit_function_class_type="VoxelGridImplicitFunction",
             implicit_function_args=dict(
                 grid_type="vm",
-                resolution=(64, 64, 64),
-                n_components=36,
+                # 48^3/24 beat 64^3/36 on these scenes (19.3/17.9 vs
+                # 18.5/17.5 PSNR) — capacity is not the binding factor
+                resolution=(48, 48, 48),
+                n_components=24,
                 n_features_color=27,
                 n_hidden_color=32,
                 scene_extent=2.0,
