@@ -67,14 +67,17 @@ def flops_of(fn, *args) -> float:
 
 
 def fused_trunk_flops(n_rays: int, n_pts: int, grad: bool) -> float:
-    """Analytic FLOPs of the fused-Pallas mlp256x8 trunk (XLA's
+    """Analytic FLOPs of the fused-Pallas NeRF field (XLA's
     cost_analysis reports 0 for custom calls, so the rows add these
-    back).  Layer input dims for 63-dim embeds, skip at 5:
-    63 + 4*256 + 319 + 2*256 = 1918; coarse evaluates n_pts points/ray,
-    fine re-evaluates the combined n_pts + n_pts_fine samples."""
+    back).  Trunk: layer input dims for 63-dim embeds, skip at 5:
+    63 + 4*256 + 319 + 2*256 = 1918 inputs x 256 out.  Head (fused since
+    the full-field kernel): intermediate 256x256, color hidden
+    (256+27)x128, density 256x1, color out 128x3.  Coarse evaluates
+    n_pts points/ray, fine re-evaluates the combined 2*n_pts samples."""
     sum_in = 63 + 4 * 256 + (256 + 63) + 2 * 256
+    head = 256 * 256 + (256 + 27) * 128 + 256 + 128 * 3
     pts_total = n_rays * n_pts + n_rays * (2 * n_pts)
-    f = 2.0 * pts_total * sum_in * 256
+    f = 2.0 * pts_total * (sum_in * 256 + head)
     return 3.0 * f if grad else f
 
 

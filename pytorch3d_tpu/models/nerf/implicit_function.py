@@ -11,7 +11,7 @@ are used when `dtype` says so, with fp32 accumulation (flax default).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -63,7 +63,17 @@ class MLPWithInputSkips(nn.Module):
     use_fused_pallas: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        z: jnp.ndarray,
+        head: Optional[tuple] = None,
+    ) -> jnp.ndarray:
+        """head, if given, is (d_embed (..., Ddir), head_params 9-tuple)
+        — the NeRF density/color head is then evaluated INSIDE the same
+        fused kernel as the trunk (ops/fused_mlp_pallas.fused_nerf_field)
+        and the return value is the packed (..., 4) [raw_density,
+        rgb_logits] instead of the trunk features."""
         d_in = x.shape[-1]
         kernels, biases = [], []
         for li in range(self.n_layers):
@@ -86,16 +96,34 @@ class MLPWithInputSkips(nn.Module):
             # lanes; narrower configs (tiny test MLPs) stay layer-by-layer
             and self.hidden_dim % 128 == 0
         )
+        ks = tuple(k.astype(self.dtype) for k in kernels)
+        bs = tuple(b.astype(self.dtype) for b in biases)
+        skips = tuple(self.input_skips)
+
+        if head is not None:
+            d_embed, head_params = head
+            hp = tuple(p.astype(self.dtype) for p in head_params)
+            if fused_ok and hp[4].shape[1] % 128 == 0:
+                from ...ops.fused_mlp_pallas import fused_nerf_field
+
+                flat = x.reshape(-1, d_in).astype(self.dtype)
+                flat_de = d_embed.reshape(-1, d_embed.shape[-1])
+                out = fused_nerf_field(flat, flat_de, ks, bs, hp, skips)
+                return out.reshape(x.shape[:-1] + (4,))
+            from ...ops.fused_mlp_pallas import fused_nerf_field_reference
+
+            flat = x.reshape(-1, d_in).astype(self.dtype)
+            flat_de = d_embed.reshape(-1, d_embed.shape[-1])
+            out = fused_nerf_field_reference(
+                flat, flat_de, ks, bs, hp, skips
+            )
+            return out.reshape(x.shape[:-1] + (4,))
+
         if fused_ok:
             from ...ops.fused_mlp_pallas import fused_mlp
 
             flat = x.reshape(-1, d_in).astype(self.dtype)
-            out = fused_mlp(
-                flat,
-                tuple(k.astype(self.dtype) for k in kernels),
-                tuple(b.astype(self.dtype) for b in biases),
-                tuple(self.input_skips),
-            )
+            out = fused_mlp(flat, ks, bs, skips)
             return out.reshape(x.shape[:-1] + (self.hidden_dim,))
 
         y = x.astype(self.dtype)
@@ -138,21 +166,38 @@ class NeuralRadianceField(nn.Module):
             input_skips=self.append_xyz,
             dtype=self.dtype,
         )
-        self.intermediate_linear = nn.Dense(
-            self.n_hidden_neurons_xyz, dtype=self.dtype, kernel_init=_XAVIER
+        # head layers as raw (kernel, bias) holders so the fused-field
+        # Pallas path can take them by value; names/param-trees identical
+        # to the previous nn.Dense layout.  density bias starts at 0 like
+        # the reference (flax default); xavier weights avoid the
+        # all-transparent init the reference comments about
+        # (implicit_function.py:79-84)
+        H = self.n_hidden_neurons_xyz
+        embedding_dim_dir = self.harmonic_embedding_dir.get_output_dim(3)
+        self.intermediate_linear = _DenseParams(features=H, in_features=H)
+        self.density_layer = _DenseParams(features=1, in_features=H)
+        self.color_layer_hidden = _DenseParams(
+            features=self.n_hidden_neurons_dir,
+            in_features=H + embedding_dim_dir,
         )
-        # density bias starts at 0 like the reference (flax default);
-        # xavier weights avoid the all-transparent init the reference
-        # comments about (implicit_function.py:79-84)
-        self.density_layer = nn.Dense(1, dtype=self.dtype, kernel_init=_XAVIER)
-        self.color_layer_hidden = nn.Dense(
-            self.n_hidden_neurons_dir, dtype=self.dtype, kernel_init=_XAVIER
+        self.color_layer_out = _DenseParams(
+            features=3, in_features=self.n_hidden_neurons_dir
         )
-        self.color_layer_out = nn.Dense(3, dtype=self.dtype, kernel_init=_XAVIER)
 
-    def _get_densities(
+    def _head_params(self) -> tuple:
+        """The 9 raw head arrays in fused_nerf_field order; the concat
+        order of the color input ([intermediate(features), d_embed])
+        maps to the (wc1a, wc1b) row split."""
+        wi, bi = self.intermediate_linear()
+        wd, bd = self.density_layer()
+        wc1, bc1 = self.color_layer_hidden()
+        wc2, bc2 = self.color_layer_out()
+        H = self.n_hidden_neurons_xyz
+        return (wd, bd, wi, bi, wc1[:H], wc1[H:], bc1, wc2, bc2)
+
+    def _densities_from_raw(
         self,
-        features: jnp.ndarray,
+        raw: jnp.ndarray,  # (..., S, 1) pre-activation density
         depth_values: jnp.ndarray,  # (..., S) ray lengths
         density_noise_std: float = 0.0,
         noise_key=None,
@@ -162,7 +207,6 @@ class NeuralRadianceField(nn.Module):
         implicit_function.py:96-120).  The delta weighting makes opacity
         invariant to the per-ray sampling resolution; the final sample gets
         a quasi-infinite delta."""
-        raw = self.density_layer(features)  # (..., S, 1)
         deltas = jnp.concatenate(
             [
                 depth_values[..., 1:] - depth_values[..., :-1],
@@ -178,22 +222,6 @@ class NeuralRadianceField(nn.Module):
             )
         return 1.0 - jnp.exp(-deltas * nn.relu(raw))
 
-    def _get_colors(self, features: jnp.ndarray, rays_directions: jnp.ndarray):
-        spatial = features.shape[:-1]
-        # normalize + harmonic-embed the view directions, broadcast over S
-        d = rays_directions / jnp.clip(
-            jnp.linalg.norm(rays_directions, axis=-1, keepdims=True), 1e-12
-        )
-        d_embed = self.harmonic_embedding_dir(d)  # (..., Ddir)
-        d_embed = jnp.broadcast_to(
-            d_embed[..., None, :], spatial + (d_embed.shape[-1],)
-        )
-        color_input = jnp.concatenate(
-            [self.intermediate_linear(features), d_embed], axis=-1
-        )
-        hidden = nn.relu(self.color_layer_hidden(color_input))
-        return nn.sigmoid(self.color_layer_out(hidden))
-
     def __call__(
         self,
         ray_bundle,
@@ -204,12 +232,34 @@ class NeuralRadianceField(nn.Module):
         """ray_bundle with origins/directions (..., 3), lengths (..., S).
 
         Returns (densities (..., S, 1), colors (..., S, 3)).
+
+        The trunk AND both heads evaluate inside one Pallas kernel on TPU
+        (MLPWithInputSkips head= path); only the packed (..., S, 4)
+        [raw_density, rgb_logits] crosses HBM, and the cheap elementwise
+        tails (delta-opacity transform, sigmoid) fuse into the
+        raymarcher downstream.
         """
         rays_points_world = ray_bundle_to_ray_points(ray_bundle)  # (..., S, 3)
         embeds_xyz = self.harmonic_embedding_xyz(rays_points_world)
-        features = self.mlp_xyz(embeds_xyz, embeds_xyz)
-        densities = self._get_densities(
-            features, ray_bundle.lengths, density_noise_std, noise_key
+        spatial = embeds_xyz.shape[:-1]  # (..., S)
+
+        d = ray_bundle.directions / jnp.clip(
+            jnp.linalg.norm(ray_bundle.directions, axis=-1, keepdims=True),
+            1e-12,
         )
-        colors = self._get_colors(features, ray_bundle.directions)
+        d_embed = self.harmonic_embedding_dir(d)  # (..., Ddir)
+        d_embed = jnp.broadcast_to(
+            d_embed[..., None, :], spatial + (d_embed.shape[-1],)
+        )
+
+        out4 = self.mlp_xyz(
+            embeds_xyz, embeds_xyz, head=(d_embed, self._head_params())
+        )
+        densities = self._densities_from_raw(
+            out4[..., 0:1].astype(jnp.float32),
+            ray_bundle.lengths,
+            density_noise_std,
+            noise_key,
+        )
+        colors = nn.sigmoid(out4[..., 1:4].astype(jnp.float32))
         return densities, colors

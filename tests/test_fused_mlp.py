@@ -105,3 +105,63 @@ class TestFusedMLP:
 
         g = jax.grad(f)(x)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestFusedNeRFField:
+    """fused_nerf_field (trunk + density/color heads in one kernel) vs
+    the jnp oracle: values and every gradient, incl. the view-direction
+    embedding input (camera-optimization path)."""
+
+    def _setup(self, n=700, d_in=63, hidden=256, n_layers=8, skips=(5,),
+               d_dir=27, hidden_dir=128):
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (n, d_in), jnp.float32)
+        de = jax.random.normal(jax.random.PRNGKey(9), (n, d_dir))
+        ws, bs = _params(jax.random.PRNGKey(1), d_in, hidden, n_layers, skips)
+        ks = jax.random.split(jax.random.PRNGKey(2), 8)
+        s = 0.05
+        head = (
+            s * jax.random.normal(ks[0], (hidden, 1)),          # wd
+            s * jax.random.normal(ks[1], (1,)),                 # bd
+            s * jax.random.normal(ks[2], (hidden, hidden)),     # wi
+            s * jax.random.normal(ks[3], (hidden,)),            # bi
+            s * jax.random.normal(ks[4], (hidden, hidden_dir)),  # wc1a
+            s * jax.random.normal(ks[5], (d_dir, hidden_dir)),  # wc1b
+            s * jax.random.normal(ks[6], (hidden_dir,)),        # bc1
+            s * jax.random.normal(ks[7], (hidden_dir, 3)),      # wc2
+            jnp.zeros((3,)),                                    # bc2
+        )
+        return x, de, ws, bs, head, skips
+
+    def test_forward_matches_oracle(self):
+        x, de, ws, bs, head, skips = self._setup()
+        got = fm.fused_nerf_field(x, de, ws, bs, head, skips)
+        want = fm.fused_nerf_field_reference(x, de, ws, bs, head, skips)
+        assert got.shape == (x.shape[0], 4)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4
+        )
+
+    def test_all_gradients_match_oracle(self):
+        x, de, ws, bs, head, skips = self._setup(
+            n=300, hidden=128, n_layers=4, skips=(2,)
+        )
+
+        def loss(fn, x, de, ws, bs, head):
+            out = fn(x, de, ws, bs, head, skips)
+            return jnp.sum(out * jnp.array([1.0, 0.5, -0.3, 0.2]))
+
+        g_got = jax.grad(
+            lambda *a: loss(fm.fused_nerf_field, *a), argnums=(0, 1, 2, 3, 4)
+        )(x, de, ws, bs, head)
+        g_want = jax.grad(
+            lambda *a: loss(fm.fused_nerf_field_reference, *a),
+            argnums=(0, 1, 2, 3, 4),
+        )(x, de, ws, bs, head)
+        flat_got = jax.tree_util.tree_leaves(g_got)
+        flat_want = jax.tree_util.tree_leaves(g_want)
+        assert len(flat_got) == len(flat_want)
+        for a, b in zip(flat_got, flat_want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3
+            )
