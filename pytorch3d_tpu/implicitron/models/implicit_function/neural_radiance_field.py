@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ....models.nerf.implicit_function import MLPWithInputSkips
+from ....models.nerf.implicit_function import MLPWithInputSkips, _DenseParams
 from ....renderer.implicit.harmonic_embedding import HarmonicEmbedding
 from ....renderer.implicit.utils import ray_bundle_to_ray_points
 from ...tools.config import registry
@@ -63,24 +63,62 @@ class NeuralRadianceFieldBase(nn.Module, ImplicitFunctionBase):
                 hidden_dim=self.n_hidden_neurons_xyz,
                 input_skips=self.append_xyz,
             )
-        self.intermediate_linear = nn.Dense(self.n_hidden_neurons_xyz)
-        self.density_layer = nn.Dense(1)
-        self.color_layer_hidden = nn.Dense(self.n_hidden_neurons_dir)
-        self.color_layer_out = nn.Dense(self.color_dim)
+        # raw (kernel, bias) holders (same names/param-trees as the
+        # previous nn.Dense layout) so the fused-field Pallas path can
+        # take the head weights by value; flax-default lecun init kept
+        H = self.n_hidden_neurons_xyz
+        d_dir = self.harmonic_embedding_dir.get_output_dim(3)
+        lecun = nn.initializers.lecun_normal()
+        self.intermediate_linear = _DenseParams(
+            features=H, in_features=H, kernel_init=lecun
+        )
+        self.density_layer = _DenseParams(
+            features=1, in_features=H, kernel_init=lecun
+        )
+        self.color_layer_hidden = _DenseParams(
+            features=self.n_hidden_neurons_dir,
+            in_features=H + d_dir,
+            kernel_init=lecun,
+        )
+        self.color_layer_out = _DenseParams(
+            features=self.color_dim,
+            in_features=self.n_hidden_neurons_dir,
+            kernel_init=lecun,
+        )
 
-    def _get_colors(self, features, directions):
-        spatial = features.shape[:-1]
+    def _dense(self, dp, x):
+        k, b = dp()
+        return jnp.dot(x, k) + b
+
+    def _head_params(self):
+        wi, bi = self.intermediate_linear()
+        wd, bd = self.density_layer()
+        wc1, bc1 = self.color_layer_hidden()
+        wc2, bc2 = self.color_layer_out()
+        H = self.n_hidden_neurons_xyz
+        return (wd, bd, wi, bi, wc1[:H], wc1[H:], bc1, wc2, bc2)
+
+    def _dir_embed(self, spatial, directions):
         d = directions / jnp.clip(
             jnp.linalg.norm(directions, axis=-1, keepdims=True), 1e-12
         )
         d_embed = self.harmonic_embedding_dir(d)
-        d_embed = jnp.broadcast_to(
+        return jnp.broadcast_to(
             d_embed[..., None, :], spatial + (d_embed.shape[-1],)
         )
+
+    def _get_colors(self, features, directions):
+        d_embed = self._dir_embed(features.shape[:-1], directions)
         inp = jnp.concatenate(
-            [self.intermediate_linear(features), d_embed], axis=-1
+            [self._dense(self.intermediate_linear, features), d_embed],
+            axis=-1,
         )
-        return nn.sigmoid(self.color_layer_out(nn.relu(self.color_layer_hidden(inp))))
+        return nn.sigmoid(
+            self._dense(
+                self.color_layer_out,
+                nn.relu(self._dense(self.color_layer_hidden, inp)),
+            )
+        )
 
     @staticmethod
     def requires_pooling_without_aggregation() -> bool:
@@ -130,9 +168,21 @@ class NeuralRadianceFieldBase(nn.Module, ImplicitFunctionBase):
             embeds = jnp.concatenate([e, pooled], axis=-1)
         if self.use_transformer_trunk:
             features = self.xyz_encoder(embeds, embeds, pool_axis=per_view)
+        elif self.color_dim == 3:
+            # density + color heads fused into the trunk kernel on TPU
+            # (models/nerf/implicit_function.py head= path; jnp oracle
+            # elsewhere): returns packed (..., 4) [raw_density, logits]
+            d_embed = self._dir_embed(
+                embeds.shape[:-1], ray_bundle.directions
+            )
+            out4 = self.xyz_encoder(
+                embeds, embeds, head=(d_embed, self._head_params())
+            )
+            densities = 1.0 - jnp.exp(-nn.softplus(out4[..., 0:1]))
+            return densities, nn.sigmoid(out4[..., 1:4])
         else:
             features = self.xyz_encoder(embeds, embeds)
-        raw_density = self.density_layer(features)
+        raw_density = self._dense(self.density_layer, features)
         densities = 1.0 - jnp.exp(-nn.softplus(raw_density))
         colors = self._get_colors(features, ray_bundle.directions)
         return densities, colors

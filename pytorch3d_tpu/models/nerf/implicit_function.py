@@ -31,11 +31,12 @@ class _DenseParams(nn.Module):
 
     features: int
     in_features: int
+    kernel_init: nn.initializers.Initializer = _XAVIER
 
     @nn.compact
     def __call__(self):
         kernel = self.param(
-            "kernel", _XAVIER, (self.in_features, self.features)
+            "kernel", self.kernel_init, (self.in_features, self.features)
         )
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,)
