@@ -88,6 +88,9 @@ class MLPWithInputSkips(nn.Module):
             kernels.append(k)
             biases.append(b)
 
+        n_rows = 1
+        for s in x.shape[:-1]:
+            n_rows *= s
         fused_ok = (
             self.use_fused_pallas
             and jax.default_backend() == "tpu"
@@ -96,6 +99,12 @@ class MLPWithInputSkips(nn.Module):
             # lane alignment: Mosaic wants the hidden dim on full 128
             # lanes; narrower configs (tiny test MLPs) stay layer-by-layer
             and self.hidden_dim % 128 == 0
+            # size gate: below ~16M row*hidden elements the kernel's
+            # fixed dispatch cost beats its HBM savings (measured:
+            # train-parity 32k x 128 steps got ~35% SLOWER fused, while
+            # the 262k x 256 NeRF batch gets 45% faster) — small
+            # problems stay on XLA's fused layer-by-layer path
+            and n_rows * self.hidden_dim >= (1 << 24)
         )
         ks = tuple(k.astype(self.dtype) for k in kernels)
         bs = tuple(b.astype(self.dtype) for b in biases)
@@ -104,20 +113,30 @@ class MLPWithInputSkips(nn.Module):
         if head is not None:
             d_embed, head_params = head
             hp = tuple(p.astype(self.dtype) for p in head_params)
+            flat = x.reshape(-1, d_in).astype(self.dtype)
+            flat_de = d_embed.reshape(-1, d_embed.shape[-1])
             if fused_ok and hp[4].shape[1] % 128 == 0:
                 from ...ops.fused_mlp_pallas import fused_nerf_field
 
-                flat = x.reshape(-1, d_in).astype(self.dtype)
-                flat_de = d_embed.reshape(-1, d_embed.shape[-1])
                 out = fused_nerf_field(flat, flat_de, ks, bs, hp, skips)
-                return out.reshape(x.shape[:-1] + (4,))
-            from ...ops.fused_mlp_pallas import fused_nerf_field_reference
+            elif fused_ok:
+                # trunk still rides the fused kernel; only the
+                # non-lane-aligned head falls back to jnp
+                from ...ops.fused_mlp_pallas import (
+                    fused_head_reference,
+                    fused_mlp,
+                )
 
-            flat = x.reshape(-1, d_in).astype(self.dtype)
-            flat_de = d_embed.reshape(-1, d_embed.shape[-1])
-            out = fused_nerf_field_reference(
-                flat, flat_de, ks, bs, hp, skips
-            )
+                y = fused_mlp(flat, ks, bs, skips)
+                out = fused_head_reference(y, flat_de, hp, self.dtype)
+            else:
+                from ...ops.fused_mlp_pallas import (
+                    fused_nerf_field_reference,
+                )
+
+                out = fused_nerf_field_reference(
+                    flat, flat_de, ks, bs, hp, skips
+                )
             return out.reshape(x.shape[:-1] + (4,))
 
         if fused_ok:

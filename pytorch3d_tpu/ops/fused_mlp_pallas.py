@@ -600,6 +600,26 @@ def _fnf_bwd(skips, res, g):
 fused_nerf_field.defvjp(_fnf_fwd, _fnf_bwd)
 
 
+def fused_head_reference(y, d_embed, head, dtype):
+    """jnp head tail (density + view-conditioned color) — used when the
+    trunk fuses but the head widths are not lane-aligned, and by the
+    full oracle below."""
+    (wd, bd, wi, bi, wc1a, wc1b, bc1, wc2, bc2) = head
+    raw_d = jnp.dot(y, wd, preferred_element_type=jnp.float32) + bd
+    il = (
+        jnp.dot(y, wi, preferred_element_type=jnp.float32) + bi
+    ).astype(dtype)
+    h_pre = (
+        jnp.dot(il, wc1a, preferred_element_type=jnp.float32)
+        + jnp.dot(d_embed.astype(dtype), wc1b,
+                  preferred_element_type=jnp.float32)
+        + bc1
+    )
+    h = jnp.maximum(h_pre, 0.0).astype(dtype)
+    rgb = jnp.dot(h, wc2, preferred_element_type=jnp.float32) + bc2
+    return jnp.concatenate([raw_d, rgb], axis=-1)
+
+
 def fused_nerf_field_reference(x, d_embed, weights, biases, head, skips):
     """Pure-jnp oracle with identical math."""
     y = fused_mlp_reference(x, weights, biases, skips)
