@@ -52,9 +52,15 @@ def bench_pulsar(P: int, rows: list) -> None:
     pos, col, rad = scene(P)
     ren = Renderer(SIZE, SIZE, P, n_track=K)
     cam = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 5.0, 2.0], jnp.float32)
+    # host-side static binning sizes -> the jitted render uses the
+    # sort-based binning instead of the O(n_tiles*P) top_k
+    hints = ren.compute_binning_hints(pos, rad, cam, 45.0, min_depth=1.0)
 
     def fwd(pos, col, rad):
-        return ren.forward(pos, col, rad, cam, 0.1, 45.0, min_depth=1.0)
+        return ren.forward(
+            pos, col, rad, cam, 0.1, 45.0, min_depth=1.0,
+            binning_hints=hints,
+        )
 
     jfwd = jax.jit(fwd)
     img = jfwd(pos, col, rad)
@@ -71,7 +77,10 @@ def bench_pulsar(P: int, rows: list) -> None:
     print(json.dumps(rows[-1]), flush=True)
 
     def loss(pos, col, rad):
-        im = ren.forward(pos, col, rad, cam, 0.1, 45.0, min_depth=1.0)
+        im = ren.forward(
+            pos, col, rad, cam, 0.1, 45.0, min_depth=1.0,
+            binning_hints=hints,
+        )
         return jnp.sum(im * im) * 1e-6
 
     jgrad = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
@@ -95,6 +104,7 @@ def bench_pointraster(P: int, rows: list) -> None:
     baseline in the reference plot)."""
     from pytorch3d_tpu.renderer.points.rasterize_points_pallas import (
         rasterize_points_fragments_pallas,
+        required_tiles_per_point,
     )
 
     pos, col, rad = scene(P)
@@ -107,10 +117,12 @@ def bench_pointraster(P: int, rows: list) -> None:
     )
     r_ndc = rad * inv_z * scale
     valid = (pos[:, 2] > 1.0) & (pos[:, 2] < 45.0)
+    t = required_tiles_per_point(pts_ndc, r_ndc, valid, (SIZE, SIZE))
+    mtpp = (max(int(t[0]), 1), max(int(t[1]), 1))
 
     def fwd_composite(pts, cols):
         idx, zbuf, dists = rasterize_points_fragments_pallas(
-            pts, r_ndc, valid, (SIZE, SIZE), K
+            pts, r_ndc, valid, (SIZE, SIZE), K, None, mtpp
         )
         w = jnp.clip(1.0 - dists / jnp.clip(r_ndc[jnp.maximum(idx, 0)]
                                             ** 2, 1e-12), 0.0, 1.0)

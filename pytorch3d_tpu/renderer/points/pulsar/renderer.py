@@ -85,35 +85,15 @@ class Renderer:
             view = view.at[:, 2].multiply(-1.0)
         return view
 
-    def forward(
-        self,
-        vert_pos: jnp.ndarray,  # (P, 3)
-        vert_col: jnp.ndarray,  # (P, C)
-        vert_rad: jnp.ndarray,  # (P,)
-        cam_params: jnp.ndarray,  # (8,)
-        gamma: float,
-        max_depth: float,
-        min_depth: float = 0.0,
-        bg_col: Optional[jnp.ndarray] = None,
-        opacity: Optional[jnp.ndarray] = None,  # (P,)
-        percent_allowed_difference: float = 0.01,
-        max_n_hits: Optional[int] = None,
-        mode: int = 0,
-        return_forward_info: bool = False,
-    ):
-        """Render spheres to an (H, W, C) image (reference `_Render`)."""
+    def _project_ndc(self, vert_pos, vert_rad, cam_params, min_depth,
+                     max_depth):
+        """Camera projection shared by forward() and
+        compute_binning_hints(): sphere centers/radii in PyTorch3D NDC
+        plus the validity mask."""
         H, W = self._height, self._width
-        C = self._n_channels
-        P = vert_pos.shape[0]
         cam_pos, cam_rot, focal, sensor_width, pp = self._parse_cam(
             cam_params
         )
-        if bg_col is None:
-            # reference renderer.py:71: None means all ones
-            bg_col = jnp.ones((C,), vert_col.dtype)
-        if opacity is None:
-            opacity = jnp.ones((P,), vert_pos.dtype)
-
         view = self._cam_to_view(vert_pos, cam_pos, cam_rot)
         z = view[:, 2]
         if self._orthogonal:
@@ -142,6 +122,70 @@ class Renderer:
         x_ndc = -x_ndc
         pts_ndc = jnp.stack([x_ndc, y_ndc, z], axis=-1)
         valid = (z > min_depth) & (z < max_depth)
+        return pts_ndc, r_ndc, valid, x_ndc, y_ndc, z
+
+    def compute_binning_hints(
+        self,
+        vert_pos: jnp.ndarray,
+        vert_rad: jnp.ndarray,
+        cam_params: jnp.ndarray,
+        max_depth: float,
+        min_depth: float = 0.0,
+    ) -> tuple:
+        """Host-side static binning sizes for this scene/camera —
+        (max_points_per_tile, (y_tiles, x_tiles)).  Pass the result as
+        forward(..., binning_hints=...) so JIT-compiled renders use the
+        O(P log) sort-based binning; must be called on concrete (eager)
+        arrays."""
+        from ..rasterize_points_pallas import (
+            required_points_per_tile,
+            required_tiles_per_point,
+        )
+
+        pts_ndc, r_ndc, valid, _, _, _ = self._project_ndc(
+            vert_pos, vert_rad, cam_params, min_depth, max_depth
+        )
+        H, W = self._height, self._width
+        need = int(
+            required_points_per_tile(pts_ndc, r_ndc, valid, (H, W))
+        )
+        mppt = 1 << max(need - 1, 0).bit_length()
+        t = required_tiles_per_point(pts_ndc, r_ndc, valid, (H, W))
+        return mppt, (max(int(t[0]), 1), max(int(t[1]), 1))
+
+    def forward(
+        self,
+        vert_pos: jnp.ndarray,  # (P, 3)
+        vert_col: jnp.ndarray,  # (P, C)
+        vert_rad: jnp.ndarray,  # (P,)
+        cam_params: jnp.ndarray,  # (8,)
+        gamma: float,
+        max_depth: float,
+        min_depth: float = 0.0,
+        bg_col: Optional[jnp.ndarray] = None,
+        opacity: Optional[jnp.ndarray] = None,  # (P,)
+        percent_allowed_difference: float = 0.01,
+        max_n_hits: Optional[int] = None,
+        mode: int = 0,
+        return_forward_info: bool = False,
+        binning_hints: Optional[tuple] = None,
+    ):
+        """Render spheres to an (H, W, C) image (reference `_Render`)."""
+        H, W = self._height, self._width
+        C = self._n_channels
+        P = vert_pos.shape[0]
+        cam_pos, cam_rot, focal, sensor_width, pp = self._parse_cam(
+            cam_params
+        )
+        if bg_col is None:
+            # reference renderer.py:71: None means all ones
+            bg_col = jnp.ones((C,), vert_col.dtype)
+        if opacity is None:
+            opacity = jnp.ones((P,), vert_pos.dtype)
+
+        pts_ndc, r_ndc, valid, x_ndc, y_ndc, z = self._project_ndc(
+            vert_pos, vert_rad, cam_params, min_depth, max_depth
+        )
 
         # Sphere -> pixel assignment.  On TPU the tile-binned Pallas point
         # kernel runs (chunk-streamed per-tile lists; this is what lets
@@ -151,10 +195,19 @@ class Renderer:
             from ..rasterize_points_pallas import (
                 rasterize_points_fragments_pallas,
                 required_points_per_tile,
+                required_tiles_per_point,
             )
 
             mppt = None
-            if not isinstance(pts_ndc, jax.core.Tracer):
+            mtpp = None
+            if binning_hints is not None:
+                # static (max_points_per_tile, (y_tiles, x_tiles)) from
+                # the caller — lets JIT-compiled callers select the
+                # O(P log) sort-based binning (inside a trace the
+                # host-side sizing below is unavailable); compute with
+                # required_points_per_tile / required_tiles_per_point
+                mppt, mtpp = binning_hints
+            elif not isinstance(pts_ndc, jax.core.Tracer):
                 need = int(
                     required_points_per_tile(
                         jax.lax.stop_gradient(pts_ndc), r_ndc, valid,
@@ -162,9 +215,15 @@ class Renderer:
                     )
                 )
                 mppt = 1 << max(need - 1, 0).bit_length()
+                # static tiles-per-point bound -> O(P log) sort-based
+                # binning (the top_k binning dominated at P ~ 1e6)
+                t = required_tiles_per_point(
+                    jax.lax.stop_gradient(pts_ndc), r_ndc, valid, (H, W)
+                )
+                mtpp = (max(int(t[0]), 1), max(int(t[1]), 1))
             idx = rasterize_points_fragments_pallas(
                 jax.lax.stop_gradient(pts_ndc), r_ndc, valid, (H, W),
-                self._n_track, mppt,
+                self._n_track, mppt, mtpp,
             )[0]
         else:
             idx = rasterize_points_topk_xla(

@@ -152,11 +152,27 @@ def rasterize_points(
 
     use_pallas = jax.default_backend() == "tpu" and bin_size != 0
     if use_pallas:
-        from .rasterize_points_pallas import rasterize_points_fragments_pallas
+        from .rasterize_points_pallas import (
+            rasterize_points_fragments_pallas,
+            required_tiles_per_point,
+        )
+
+        # host-side static sizing selects the O(P log) sort-based
+        # binning; inside a trace fall back to the exact top_k binning
+        mtpp = None
+        if not isinstance(pts_padded, jax.core.Tracer):
+            t = required_tiles_per_point(
+                pts_padded.reshape(-1, 3),
+                rad.reshape(-1),
+                mask.reshape(-1),
+                image_size,
+            )
+            mtpp = (max(int(t[0]), 1), max(int(t[1]), 1))
 
         def one_fused(pts, r, m):
             return rasterize_points_fragments_pallas(
-                pts, r, m, image_size, points_per_pixel, max_points_per_bin
+                pts, r, m, image_size, points_per_pixel,
+                max_points_per_bin, mtpp,
             )
 
         idx_local, zbuf, dists = jax.vmap(one_fused)(pts_padded, rad, mask)

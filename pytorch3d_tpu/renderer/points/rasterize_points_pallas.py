@@ -35,19 +35,13 @@ from ..mesh.rasterize_pallas import _tile_for_k  # noqa: E402  (shared rule:
 # K*TH, so tile height shrinks for K > 32)
 
 
-def _bin_points(
-    points: jnp.ndarray,  # (P, 3)
-    radius: jnp.ndarray,  # (P,)
-    valid: jnp.ndarray,  # (P,)
-    image_size: Tuple[int, int],
-    max_points_per_tile: int,
-    tile: Tuple[int, int] = (_TILE_H, _TILE_W),
-):
+def _tile_axis_masks(points, radius, valid, image_size, tile):
+    """Per-axis tile-overlap masks oy (n_ty, P) / ox (n_tx, P) + ok (P,)
+    — the shared geometric predicate of both binning strategies."""
     H, W = image_size
     TH, TW = tile
     n_ty = -(-H // TH)
     n_tx = -(-W // TW)
-    P = points.shape[0]
 
     x = points[:, 0]
     y = points[:, 1]
@@ -73,13 +67,108 @@ def _bin_points(
         xmax[None, :] >= tx_min[:, None] - half_px
     )
     ok = valid & (points[:, 2] >= 0)
+    return oy, ox, ok, n_ty, n_tx
+
+
+def required_tiles_per_point(
+    points: jnp.ndarray,
+    radius: jnp.ndarray,
+    valid: jnp.ndarray,
+    image_size: Tuple[int, int],
+    tile: Tuple[int, int] = (_TILE_H, _TILE_W),
+) -> jnp.ndarray:
+    """Exact (max_y_tiles, max_x_tiles) any point overlaps — host-side
+    sizing for the sort-based binning's static expansion factor (the
+    analog of required_points_per_tile)."""
+    oy, ox, ok, _, _ = _tile_axis_masks(
+        points, radius, valid, image_size, tile
+    )
+    cy = jnp.sum(oy.astype(jnp.int32), axis=0) * ok.astype(jnp.int32)
+    cx = jnp.sum(ox.astype(jnp.int32), axis=0) * ok.astype(jnp.int32)
+    return jnp.stack([jnp.max(cy), jnp.max(cx)])
+
+
+def _ids_topk(oy, ox, ok, n_ty, n_tx, P, max_points_per_tile):
+    """Original binning: per-tile top_k over the full (n_tiles, P)
+    overlap matrix.  Exact for any radius, but the top_k is O(n_tiles*P)
+    and dominates end-to-end time at P ~ 1e6 (measured 641 of 711 ms at
+    1024^2) — the sort path below replaces it when the caller can bound
+    tiles-per-point statically."""
     overlap = oy[:, None, :] & ox[None, :, :] & ok[None, None, :]
     overlap = overlap.reshape(n_ty * n_tx, P)
-
-    score = jnp.where(overlap, -jnp.arange(P, dtype=jnp.float32)[None], -jnp.inf)
+    score = jnp.where(
+        overlap, -jnp.arange(P, dtype=jnp.float32)[None], -jnp.inf
+    )
     top, _ = jax.lax.top_k(score, min(max_points_per_tile, P))
     filled = jnp.isfinite(top)
-    ids = jnp.where(filled, (-top).astype(jnp.int32), -1)
+    return jnp.where(filled, (-top).astype(jnp.int32), -1)
+
+
+def _ids_sorted(oy, ox, ok, n_ty, n_tx, P, max_points_per_tile,
+                max_tiles_per_point):
+    """Sort-based CSR binning: expand each point to its (contiguous)
+    tile range — at most TY*TX pairs, static — stable-sort the pairs by
+    tile, and gather each tile's leading MPT entries.  O(P*TY*TX log)
+    instead of O(n_tiles*P); produces the SAME ids (ascending point id
+    per tile, lowest ids kept on overflow) as the top_k path."""
+    TY, TX = max_tiles_per_point
+    n_tiles = n_ty * n_tx
+    # contiguous per-axis ranges: [lo, lo+cnt)
+    lo_y = jnp.argmax(oy, axis=0).astype(jnp.int32)
+    cnt_y = jnp.sum(oy.astype(jnp.int32), axis=0)
+    lo_x = jnp.argmax(ox, axis=0).astype(jnp.int32)
+    cnt_x = jnp.sum(ox.astype(jnp.int32), axis=0)
+
+    u = jnp.arange(TY, dtype=jnp.int32)[:, None, None]  # (TY, 1, 1)
+    v = jnp.arange(TX, dtype=jnp.int32)[None, :, None]  # (1, TX, 1)
+    live = (
+        (u < cnt_y[None, None, :])
+        & (v < cnt_x[None, None, :])
+        & ok[None, None, :]
+    )
+    t_id = (lo_y[None, None, :] + u) * n_tx + (lo_x[None, None, :] + v)
+    t_id = jnp.where(live, t_id, n_tiles)  # dead pairs sort last
+    pid = jnp.broadcast_to(
+        jnp.arange(P, dtype=jnp.int32)[None, None, :], t_id.shape
+    )
+    # pid-major flatten + stable sort by tile -> ascending pid per tile
+    t_flat = jnp.moveaxis(t_id, -1, 0).reshape(-1)
+    p_flat = jnp.moveaxis(pid, -1, 0).reshape(-1)
+    t_sorted, p_sorted = jax.lax.sort(
+        (t_flat, p_flat), dimension=0, is_stable=True, num_keys=1
+    )
+    starts = jnp.searchsorted(t_sorted, jnp.arange(n_tiles, dtype=jnp.int32))
+    ends = jnp.searchsorted(
+        t_sorted, jnp.arange(n_tiles, dtype=jnp.int32), side="right"
+    )
+    counts = jnp.minimum(ends - starts, max_points_per_tile)
+    i = jnp.arange(max_points_per_tile, dtype=jnp.int32)[None, :]
+    pos = jnp.minimum(starts[:, None] + i, t_sorted.shape[0] - 1)
+    ids = jnp.where(i < counts[:, None], p_sorted[pos], -1)
+    return ids
+
+
+def _bin_points(
+    points: jnp.ndarray,  # (P, 3)
+    radius: jnp.ndarray,  # (P,)
+    valid: jnp.ndarray,  # (P,)
+    image_size: Tuple[int, int],
+    max_points_per_tile: int,
+    tile: Tuple[int, int] = (_TILE_H, _TILE_W),
+    max_tiles_per_point: Optional[Tuple[int, int]] = None,
+):
+    P = points.shape[0]
+    oy, ox, ok, n_ty, n_tx = _tile_axis_masks(
+        points, radius, valid, image_size, tile
+    )
+    if max_tiles_per_point is None:
+        ids = _ids_topk(oy, ox, ok, n_ty, n_tx, P, max_points_per_tile)
+    else:
+        ids = _ids_sorted(
+            oy, ox, ok, n_ty, n_tx, P,
+            min(max_points_per_tile, P), max_tiles_per_point,
+        )
+    filled = ids >= 0
 
     g_pts = points[jnp.maximum(ids, 0)]  # (n_tiles, MPT, 3)
     g_rad = radius[jnp.maximum(ids, 0)]
@@ -219,6 +308,11 @@ def _fine_kernel(
             out.append(merged)
         return tuple(out)
 
+    # NOTE: a 4x unroll of this loop (mesh-kernel style) was measured
+    # NEUTRAL on the fwd and a 4x REGRESSION on the grad kernel at
+    # MPT=32768 (VMEM pressure from concurrent per-point tile
+    # temporaries) — the points kernels stay un-unrolled; the binning,
+    # not this loop, dominated end-to-end time (see _ids_sorted).
     init = tuple(
         (z_out[k], idx_out[k], d_out[k]) for k in range(K)
     )
@@ -291,7 +385,7 @@ def _grad_kernel(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
 )
 def rasterize_points_fragments_pallas(
     points: jnp.ndarray,  # (P, 3) NDC xy + view z
@@ -300,17 +394,23 @@ def rasterize_points_fragments_pallas(
     image_size: Tuple[int, int],
     points_per_pixel: int = 8,
     max_points_per_tile: Optional[int] = None,
+    max_tiles_per_point: Optional[Tuple[int, int]] = None,
 ):
-    """(idx, zbuf, dists2); zbuf/dists differentiable wrt points."""
+    """(idx, zbuf, dists2); zbuf/dists differentiable wrt points.
+
+    max_tiles_per_point: static (y_tiles, x_tiles) bound (see
+    required_tiles_per_point) selecting the O(P log) sort-based binning;
+    None keeps the O(n_tiles*P) top_k binning (exact for any radius
+    without host-side sizing)."""
     out, _ = _rpf_fwd(
         points, radius, valid, image_size, points_per_pixel,
-        max_points_per_tile,
+        max_points_per_tile, max_tiles_per_point,
     )
     return out
 
 
 def _rpf_fwd(points, radius, valid, image_size, points_per_pixel,
-             max_points_per_tile):
+             max_points_per_tile, max_tiles_per_point=None):
     H, W = image_size
     K = points_per_pixel
     P = points.shape[0]
@@ -328,7 +428,7 @@ def _rpf_fwd(points, radius, valid, image_size, points_per_pixel,
     TH, TW = tile
     data, ids, counts, n_ty, n_tx = _bin_points(
         jax.lax.stop_gradient(points), radius, valid, image_size, mpt,
-        tile,
+        tile, max_tiles_per_point,
     )
     n_tiles = n_ty * n_tx
     MPT = data.shape[2]
@@ -382,7 +482,8 @@ def _rpf_fwd(points, radius, valid, image_size, points_per_pixel,
     return out, res
 
 
-def _rpf_bwd(image_size, points_per_pixel, max_points_per_tile, res, g):
+def _rpf_bwd(image_size, points_per_pixel, max_points_per_tile,
+             max_tiles_per_point, res, g):
     data, ids, counts, idx, p_marker = res
     P = p_marker.shape[0]
     _, gz, gd = g
