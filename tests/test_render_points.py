@@ -190,3 +190,47 @@ class TestPointsGoldens:
         )
         mad = np.abs(rgb - ref).mean()
         assert mad < 0.01, f"points sphere: mad {mad}"
+
+
+class TestSortedBinningEquivalence:
+    """The O(P log) sort-based binning must produce bit-identical
+    per-tile id lists to the exact top_k binning (ascending point id per
+    tile, lowest ids kept on overflow) across radii/aspect regimes."""
+
+    def test_ids_match_topk(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pytorch3d_tpu.renderer.points import (
+            rasterize_points_pallas as rpp,
+        )
+
+        for trial, (P, rlo, rhi, size) in enumerate(
+            [
+                (2000, 0.005, 0.02, (256, 256)),
+                (1500, 0.01, 0.3, (128, 256)),  # big spheres, many tiles
+                (300, 0.0, 0.0, (64, 64)),      # zero radius
+                (1000, 0.05, 0.05, (100, 200)),  # ragged tiles
+            ]
+        ):
+            key = jax.random.PRNGKey(trial)
+            k1, k2 = jax.random.split(key)
+            pts = jax.random.uniform(k1, (P, 3), minval=-1.2, maxval=1.2)
+            pts = pts.at[:, 2].set(jnp.abs(pts[:, 2]) * 2 - 0.2)
+            rad = jax.random.uniform(k2, (P,), minval=rlo, maxval=rhi)
+            valid = jnp.arange(P) % 7 != 0
+            oy, ox, ok, n_ty, n_tx = rpp._tile_axis_masks(
+                pts, rad, valid, size, (32, 128)
+            )
+            t = rpp.required_tiles_per_point(pts, rad, valid, size)
+            mtpp = (max(int(t[0]), 1), max(int(t[1]), 1))
+            for mpt in (64, 1024):
+                a = rpp._ids_topk(oy, ox, ok, n_ty, n_tx, P, mpt)
+                b = rpp._ids_sorted(
+                    oy, ox, ok, n_ty, n_tx, P, min(mpt, P), mtpp
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"trial={trial} mpt={mpt}",
+                )
