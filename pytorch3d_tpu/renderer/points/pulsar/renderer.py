@@ -237,11 +237,27 @@ class Renderer:
 
         yf, xf = pixel_grid_ndc(H, W, vert_pos.dtype)
         pxy = jnp.stack(jnp.meshgrid(yf, xf, indexing="ij")[::-1], axis=-1)
-        cx = x_ndc[sel]
-        cy = y_ndc[sel]
-        cz = z[sel]
-        cr = jnp.clip(r_ndc[sel], 1e-8)
-        co = opacity[sel]
+        # ONE row-gather of all per-sphere fields: eight scalar gathers
+        # of (H, W, K) from P-row arrays were ~70% of the 1e6-sphere
+        # forward (random single-float loads waste the cache line); a
+        # packed (P, 5+C) table turns them into one contiguous-row fetch
+        table = jnp.concatenate(
+            [
+                x_ndc[:, None],
+                y_ndc[:, None],
+                z[:, None],
+                jnp.clip(r_ndc, 1e-8)[:, None],
+                opacity[:, None],
+                vert_col,
+            ],
+            axis=-1,
+        )
+        g = table[sel]  # (H, W, K, 5 + C)
+        cx = g[..., 0]
+        cy = g[..., 1]
+        cz = g[..., 2]
+        cr = g[..., 3]
+        co = g[..., 4]
         d2 = (pxy[..., None, 0] - cx) ** 2 + (pxy[..., None, 1] - cy) ** 2
         closeness = jnp.clip(1.0 - d2 / (cr * cr), 0.0, 1.0)  # d_i
 
@@ -267,7 +283,7 @@ class Renderer:
             )
             return hits[..., None]
 
-        cols = vert_col[sel]  # (H, W, K, C)
+        cols = g[..., 5:]  # (H, W, K, C)
         image = (
             jnp.sum(w_raw[..., None] * cols, axis=-2)
             + w_bg[..., None] * bg_col
