@@ -14,10 +14,15 @@ import jax.numpy as jnp
 
 
 def _gather_feats(features: jnp.ndarray, pointsidx: jnp.ndarray):
-    """features (C, P), idx (N, K, H, W) -> (N, C, K, H, W), 0 where idx<0."""
+    """features (C, P), idx (N, K, H, W) -> (N, C, K, H, W), 0 where idx<0.
+
+    Gathers point-major rows ((P, C) layout) so each fetched cache line
+    carries a whole point's channels — indexing the channel-major (C, P)
+    layout directly costs C scalar gathers P apart (the pulsar blend
+    measured ~70% of its forward in exactly that pattern)."""
     sel = jnp.maximum(pointsidx, 0)
-    g = features[:, sel]  # (C, N, K, H, W)
-    g = jnp.moveaxis(g, 0, 1)  # (N, C, K, H, W)
+    g = jnp.swapaxes(features, 0, 1)[sel]  # (N, K, H, W, C) row gather
+    g = jnp.moveaxis(g, -1, 1)  # (N, C, K, H, W)
     return jnp.where((pointsidx >= 0)[:, None], g, 0.0)
 
 
