@@ -336,3 +336,65 @@ class TestNdcGridSamplePacked:
         packed = ndc_grid_sample_packed(imgs, xys, ids, mode="nearest")
         dense = ndc_grid_sample(imgs[ids], xys[:, None], mode="nearest")[:, :, 0]
         assert np.allclose(np.asarray(packed), np.asarray(dense), atol=1e-6)
+
+
+class TestSamplePdfGradients:
+    """The one-hot pick path must carry the same gradients wrt bins and
+    weights as a plain take_along_axis formulation (regression for the
+    round-4 gather->one-hot rewrite)."""
+
+    def test_matches_take_along_axis_grads(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pytorch3d_tpu.renderer.implicit.sample_pdf import sample_pdf
+
+        def sample_pdf_gather(bins, weights, n_samples, key):
+            eps = 1e-5
+            w = weights + eps
+            pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+            cdf = jnp.cumsum(pdf, axis=-1)
+            cdf = jnp.concatenate(
+                [jnp.zeros_like(cdf[..., :1]), cdf], axis=-1
+            )
+            u = jax.random.uniform(
+                key, cdf.shape[:-1] + (n_samples,), cdf.dtype
+            )
+            inds = jnp.sum(
+                (cdf[..., :, None] <= u[..., None, :]).astype(jnp.int32),
+                axis=-2,
+            )
+            below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
+            above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
+            cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
+            cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
+            bins_g0 = jnp.take_along_axis(bins, below, axis=-1)
+            bins_g1 = jnp.take_along_axis(bins, above, axis=-1)
+            denom = cdf_g1 - cdf_g0
+            denom = jnp.where(denom < eps, 1.0, denom)
+            t = (u - cdf_g0) / denom
+            return bins_g0 + t * (bins_g1 - bins_g0)
+
+        key = jax.random.PRNGKey(3)
+        R, S = 64, 32
+        bins = jnp.sort(
+            jax.random.uniform(key, (R, S + 1), minval=1.0, maxval=5.0),
+            axis=-1,
+        )
+        weights = jax.random.uniform(jax.random.PRNGKey(4), (R, S))
+        uk = jax.random.PRNGKey(5)
+
+        def loss_ours(b, w):
+            return jnp.sum(jnp.sin(sample_pdf(b, w, 24, key=uk)))
+
+        def loss_ref(b, w):
+            return jnp.sum(jnp.sin(sample_pdf_gather(b, w, 24, uk)))
+
+        vo, go = jax.value_and_grad(loss_ours, argnums=(0, 1))(bins, weights)
+        vr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1))(bins, weights)
+        np.testing.assert_allclose(float(vo), float(vr), rtol=1e-6)
+        for a, b in zip(go, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+            )
