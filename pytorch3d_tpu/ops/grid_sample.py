@@ -30,7 +30,11 @@ def _gather_2d(image: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray, padding_mod
         valid = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
         ix = jnp.clip(ix, 0, W - 1)
         iy = jnp.clip(iy, 0, H - 1)
-    vals = image[:, iy, ix]  # (C, ...)
+    # channel-LAST row gather: indexing the (C, H, W) layout directly
+    # costs C scalar gathers H*W apart per sample point; gathering
+    # (H, W, C) rows fetches each pixel's channels contiguously (the
+    # round-4 minor-axis-gather lesson, benchmarks/PERF_ANALYSIS.md)
+    vals = jnp.moveaxis(jnp.moveaxis(image, 0, -1)[iy, ix], -1, 0)
     return jnp.where(valid[None], vals, 0.0)
 
 
@@ -97,7 +101,8 @@ def _gather_3d(vol, ix, iy, iz, padding_mode):
         ix = jnp.clip(ix, 0, W - 1)
         iy = jnp.clip(iy, 0, H - 1)
         iz = jnp.clip(iz, 0, D - 1)
-    vals = vol[:, iz, iy, ix]
+    # channel-last row gather (see _gather_2d)
+    vals = jnp.moveaxis(jnp.moveaxis(vol, 0, -1)[iz, iy, ix], -1, 0)
     return jnp.where(valid[None], vals, 0.0)
 
 
