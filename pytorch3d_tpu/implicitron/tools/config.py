@@ -48,6 +48,7 @@ ARGS_SUFFIX = "_args"
 CLASS_TYPE_SUFFIX = "_class_type"
 IMPL_SUFFIX = "_args"
 ENABLED_SUFFIX = "_enabled"
+TWEAK_SUFFIX = "_tweak_args"
 
 
 class ReplaceableBase:
@@ -180,6 +181,15 @@ def expand_args_fields(some_class: type, *, _do_not_process=()) -> type:
     hints = typing.get_type_hints(some_class)
     annotations = {}
     for klass in reversed(some_class.__mro__):
+        # dataclass semantics (reference :710): only Configurable bases
+        # contribute fields — annotations of foreign bases in a hybrid
+        # MRO (e.g. torch.nn.Module's `training: bool` when driving the
+        # reference model zoo through this machinery) are not fields.
+        if klass is not some_class and not (
+            isinstance(klass, type)
+            and issubclass(klass, (Configurable, ReplaceableBase))
+        ):
+            continue
         annotations.update(getattr(klass, "__annotations__", {}))
 
     processed: Dict[str, Any] = {}
@@ -195,6 +205,7 @@ def expand_args_fields(some_class: type, *, _do_not_process=()) -> type:
         if _is_configurable_type(inner) and issubclass(inner, ReplaceableBase):
             # pluggable member: class_type selector + per-impl args
             processed[name] = ("replaceable", inner, is_optional)
+            tweak = getattr(some_class, name + TWEAK_SUFFIX, None)
             ct_name = name + CLASS_TYPE_SUFFIX
             if ct_name not in annotations:
                 new_annotations[ct_name] = str
@@ -205,16 +216,17 @@ def expand_args_fields(some_class: type, *, _do_not_process=()) -> type:
                 expand_args_fields(impl)
                 args_name = f"{name}_{impl.__name__}{IMPL_SUFFIX}"
                 new_annotations[args_name] = dict
-                new_defaults[args_name] = _DefaultFactory(impl)
+                new_defaults[args_name] = _DefaultFactory(impl, tweak)
             # keep the member itself out of __init__
             new_annotations[name] = typing.Any
             new_defaults[name] = None
         elif _is_configurable_type(inner):
             processed[name] = ("configurable", inner, is_optional)
+            tweak = getattr(some_class, name + TWEAK_SUFFIX, None)
             expand_args_fields(inner)
             args_name = name + ARGS_SUFFIX
             new_annotations[args_name] = dict
-            new_defaults[args_name] = _DefaultFactory(inner)
+            new_defaults[args_name] = _DefaultFactory(inner, tweak)
             if is_optional:
                 en_name = name + ENABLED_SUFFIX
                 if en_name not in annotations:
@@ -255,6 +267,25 @@ def expand_args_fields(some_class: type, *, _do_not_process=()) -> type:
                     new_defaults[name] = _MISSING_SENTINEL
             elif not hasattr(some_class, name):
                 new_defaults[name] = _MISSING_SENTINEL
+            else:
+                # default inherited from a not-yet-expanded base: a raw
+                # `field(...)` or mutable container living on the base
+                # class must be re-emitted on THIS class, else dataclass
+                # processing delattr-fails / shares the mutable.
+                inherited = getattr(some_class, name)
+                if isinstance(inherited, dataclasses.Field):
+                    if inherited.default is not dataclasses.MISSING:
+                        new_defaults[name] = inherited.default
+                    elif (
+                        inherited.default_factory is not dataclasses.MISSING
+                    ):
+                        new_defaults[name] = _CallFactory(
+                            inherited.default_factory
+                        )
+                    else:
+                        new_defaults[name] = _MISSING_SENTINEL
+                elif isinstance(inherited, (list, dict, set)):
+                    new_defaults[name] = _ValueFactory(inherited)
 
     some_class.__annotations__ = new_annotations
     for k, v in new_defaults.items():
@@ -282,6 +313,14 @@ def expand_args_fields(some_class: type, *, _do_not_process=()) -> type:
             if attr in some_class.__dict__:
                 delattr(some_class, attr)
     dataclasses.dataclass(eq=False)(some_class)
+    # Drop the `member = None` class attrs the member fields leave behind:
+    # on torch.nn.Module hybrids the class attr would shadow the _modules
+    # entry run_auto_creation registers (nn.Module.__getattr__ only fires
+    # when ordinary lookup fails).  Instances still get the None default
+    # via the generated __init__.
+    for name in processed:
+        if some_class.__dict__.get(name, _MISSING_SENTINEL) is None:
+            delattr(some_class, name)
     return some_class
 
 
@@ -290,13 +329,19 @@ _MISSING_SENTINEL = object()
 
 class _DefaultFactory:
     """default_factory producing a child config dict (late-bound so impls
-    registered later still expand)."""
+    registered later still expand).  `tweak` is the owner class's
+    `<member>_tweak_args(member_type, args)` hook (reference :839),
+    applied to the defaults at factory time."""
 
-    def __init__(self, klass: type) -> None:
+    def __init__(self, klass: type, tweak=None) -> None:
         self.klass = klass
+        self.tweak = tweak
 
     def __call__(self) -> dict:
-        return get_default_args(self.klass)
+        args = get_default_args(self.klass)
+        if self.tweak is not None:
+            self.tweak(self.klass, args)
+        return args
 
 
 class _ValueFactory:
