@@ -72,7 +72,8 @@ def _build_ref_model(family: str):
         loss_weights={
             "loss_rgb_mse": 1.0,
             "loss_prev_stage_rgb_mse": 1.0,
-            "loss_mask_bce": 0.0,
+            # same opacity supervision as the ours arm
+            "loss_mask_bce": 1.0,
             "loss_prev_stage_mask_bce": 0.0,
         },
     )
@@ -135,7 +136,6 @@ def _build_ref_model(family: str):
             5e-3,
         )
     if family == "sdf":
-        common["loss_weights"]["loss_mask_bce"] = 1.0
         common["loss_weights"]["loss_eikonal"] = 0.1
         return (
             GenericModel(
@@ -144,7 +144,7 @@ def _build_ref_model(family: str):
                     ray_tracer_args=dict(
                         n_steps=24, sphere_tracing_iters=8
                     ),
-                    bg_color=(1.0, 1.0, 1.0),
+                    bg_color=(0.0, 0.0, 0.0),  # matches masked-input bg
                     ray_normal_coloring_network_args=dict(
                         dims=(64, 64), n_harmonic_functions_dir=4
                     ),
@@ -244,7 +244,10 @@ def run_ref(family: str, scene: str, steps: int) -> None:
             for j in test_idx:
                 img_r, _, _ = render_full(j)
                 pred = img_r.permute(0, 2, 3, 1).numpy()
-                psnrs.append(psnr(pred, images[j : j + 1]))
+                # masked-gt PSNR, same definition as the ours arm
+                psnrs.append(
+                    psnr(pred, images[j : j + 1] * fg[j : j + 1])
+                )
             curve.append(
                 {
                     "step": it,
@@ -301,7 +304,7 @@ def run_ref(family: str, scene: str, steps: int) -> None:
                 else None
             ),
         )
-        eval_rows.append(eval_batch(frame, render, bg_color="white"))
+        eval_rows.append(eval_batch(frame, render, bg_color="black"))
     eval_mean = {
         k: float(np.mean([r[k] for r in eval_rows]))
         for k in eval_rows[0]

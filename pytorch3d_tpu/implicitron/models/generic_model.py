@@ -53,7 +53,14 @@ class GenericModel(nn.Module, ImplicitronModelBase):
     render_image_height: int = 400
     num_passes: int = 2
     chunk_size_grid: int = 4096
+    # input preprocessing (reference generic_model.py:207-213 +
+    # models/utils.py:25 `preprocess_input`): threshold the fg mask, and
+    # optionally replace the image/depth background with `bg_color`/zero
+    # before the model ever sees them.
+    mask_images: bool = True
+    mask_depths: bool = True
     mask_threshold: float = 0.5
+    bg_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
     raysampler_class_type: str = "AdaptiveRaySampler"
     raysampler_args: Optional[Dict[str, Any]] = None
@@ -206,6 +213,9 @@ class GenericModel(nn.Module, ImplicitronModelBase):
             key = jax.random.PRNGKey(0)
         k_rays, k_render = jax.random.split(key)
 
+        image_rgb, fg_probability, depth_map = self._preprocess_input(
+            image_rgb, fg_probability, depth_map
+        )
         mask = (
             fg_probability[..., 0]
             if fg_probability is not None
@@ -351,6 +361,22 @@ class GenericModel(nn.Module, ImplicitronModelBase):
             objective if used else jnp.asarray(0.0, jnp.float32)
         )
         return preds
+
+    def _preprocess_input(self, image_rgb, fg_probability, depth_map):
+        """Threshold the fg mask and mask the image/depth backgrounds
+        (reference models/utils.py:25 `preprocess_input`; channel-last
+        here). The loss then supervises against the MASKED image, so a
+        renderer with the matching bg_color learns an object-confined
+        field instead of spending capacity on the background."""
+        fg_mask = fg_probability
+        if fg_mask is not None and self.mask_threshold > 0.0:
+            fg_mask = (fg_mask >= self.mask_threshold).astype(fg_mask.dtype)
+        if self.mask_images and fg_mask is not None and image_rgb is not None:
+            bg = jnp.asarray(self.bg_color, image_rgb.dtype)
+            image_rgb = image_rgb * fg_mask + bg * (1.0 - fg_mask)
+        if self.mask_depths and fg_mask is not None and depth_map is not None:
+            depth_map = depth_map * fg_mask
+        return image_rgb, fg_mask, depth_map
 
     # ------------------------------------------------------------------ #
     def _render_chunked(
