@@ -24,16 +24,128 @@ with (rx, ry, rz) an axis-angle rotation.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ....transforms.rotation_conversions import (
     axis_angle_to_matrix,
     rotation_6d_to_matrix,
 )
 from ..rasterize_points import rasterize_points_topk_xla
+
+
+def _blend_core(table, idx, bg_col, gamma, min_depth, max_depth,
+                bg_norm_depth, H, W):
+    """The pulsar softmax blend over the K selected spheres per pixel.
+
+    Returns (image, denom, logit_max, w_raw, g): the per-pixel blend plus
+    the environment the scatter-free backward needs (denom / logit_max)
+    and the gathered per-hit fields (for forward info)."""
+    sel = jnp.maximum(idx, 0)
+    hit = idx >= 0
+    from ...mesh.rasterize_meshes import pixel_grid_ndc
+
+    yf, xf = pixel_grid_ndc(H, W, table.dtype)
+    pxy = jnp.stack(jnp.meshgrid(yf, xf, indexing="ij")[::-1], axis=-1)
+    g = table[sel]  # (H, W, K, 5 + C)
+    cx = g[..., 0]
+    cy = g[..., 1]
+    cz = g[..., 2]
+    cr = g[..., 3]
+    co = g[..., 4]
+    d2 = (pxy[..., None, 0] - cx) ** 2 + (pxy[..., None, 1] - cy) ** 2
+    closeness = jnp.clip(1.0 - d2 / (cr * cr), 0.0, 1.0)  # d_i
+
+    # normalized inverse depth in [0, 1]: 1 at min_depth, 0 at max_depth
+    z_norm = 1.0 - (cz - min_depth) / (max_depth - min_depth)
+    z_norm = jnp.clip(z_norm, 0.0, 1.0)
+
+    bg_logit = bg_norm_depth / gamma
+    logit = jnp.where(hit, co * z_norm / gamma, -jnp.inf)
+    logit_max = jnp.maximum(
+        jnp.max(logit, axis=-1), bg_logit
+    )  # include the background logit in the max shift
+    w_raw = co * closeness * jnp.exp(logit - logit_max[..., None])
+    w_raw = jnp.where(hit, w_raw, 0.0)
+    w_bg = jnp.exp(bg_logit - logit_max)
+    denom = jnp.sum(w_raw, axis=-1) + w_bg
+
+    cols = g[..., 5:]  # (H, W, K, C)
+    image = (
+        jnp.sum(w_raw[..., None] * cols, axis=-2)
+        + w_bg[..., None] * bg_col
+    ) / denom[..., None]
+    return image, denom, logit_max, w_raw, g
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def _blend_packed(
+    table, bg_col, ids, counts, rows, idx,
+    gamma, min_depth, max_depth, bg_norm_depth, image_size, n_tx, tile,
+):
+    """Pulsar blend with a scatter-free Pallas backward (TPU path).
+
+    The autodiff backward of `table[sel]` is a (H*W*K)-row scatter-add
+    into (P, F) — measured 452 ms at 1e6 spheres @1024^2, 3x the whole
+    forward.  The custom VJP reduces per-tile with the same chunked SMEM
+    kernel shape as the rasterizer's grad kernel over the SAME binning
+    the select pass used (ids/counts/rows from bin_points_for_pulsar)
+    and combines with a (P, tiles-per-point) row gather
+    (rasterize_points_pallas.pulsar_blend_grads)."""
+    H, W = image_size
+    image, _, _, _, _ = _blend_core(
+        table, idx, bg_col, gamma, min_depth, max_depth, bg_norm_depth,
+        H, W,
+    )
+    return image
+
+
+def _blend_packed_fwd(
+    table, bg_col, ids, counts, rows, idx,
+    gamma, min_depth, max_depth, bg_norm_depth, image_size, n_tx, tile,
+):
+    H, W = image_size
+    image, denom, logit_max, _, _ = _blend_core(
+        table, idx, bg_col, gamma, min_depth, max_depth, bg_norm_depth,
+        H, W,
+    )
+    res = (table, bg_col, ids, counts, rows, idx, image, denom,
+           logit_max)
+    return image, res
+
+
+def _blend_packed_bwd(
+    gamma, min_depth, max_depth, bg_norm_depth, image_size, n_tx, tile,
+    res, ct,
+):
+    from ..rasterize_points_pallas import pulsar_blend_grads
+
+    (table, bg_col, ids, counts, rows, idx, image, denom,
+     logit_max) = res
+    dtable = pulsar_blend_grads(
+        table, ids, counts, rows, idx, ct, image, denom, logit_max,
+        image_size, gamma, min_depth, max_depth, n_tx, tile,
+    )
+    # d(bg_col): dI_c/dbg_c = w_bg / denom per pixel (w_bg independent
+    # of every sphere field and of bg itself)
+    w_bg = jnp.exp(bg_norm_depth / gamma - logit_max)
+    dbg = jnp.sum(ct * (w_bg / denom)[..., None], axis=(0, 1))
+    zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return (
+        dtable,
+        dbg.astype(bg_col.dtype),
+        zero(ids),
+        zero(counts),
+        zero(rows),
+        zero(idx),
+    )
+
+
+_blend_packed.defvjp(_blend_packed_fwd, _blend_packed_bwd)
 
 
 class Renderer:
@@ -135,8 +247,9 @@ class Renderer:
         """Host-side static binning sizes for this scene/camera —
         (max_points_per_tile, (y_tiles, x_tiles)).  Pass the result as
         forward(..., binning_hints=...) so JIT-compiled renders use the
-        O(P log) sort-based binning; must be called on concrete (eager)
-        arrays."""
+        O(P log) sort-based binning (and, with grads, the scatter-free
+        blend backward over the same binning); must be called on
+        concrete (eager) arrays."""
         from ..rasterize_points_pallas import (
             required_points_per_tile,
             required_tiles_per_point,
@@ -191,22 +304,26 @@ class Renderer:
         # kernel runs (chunk-streamed per-tile lists; this is what lets
         # pulsar reach the reference's millions-of-spheres regime,
         # csrc/pulsar/gpu/renderer.*.gpu.cu); elsewhere the XLA oracle.
+        shared_binning = None
         if jax.default_backend() == "tpu":
             from ..rasterize_points_pallas import (
+                _tile_for_k,
+                bin_points_for_pulsar,
                 rasterize_points_fragments_pallas,
                 required_points_per_tile,
                 required_tiles_per_point,
+                select_from_binned,
             )
 
             mppt = None
             mtpp = None
             if binning_hints is not None:
-                # static (max_points_per_tile, (y_tiles, x_tiles)) from
-                # the caller — lets JIT-compiled callers select the
+                # static (max_points_per_tile, (y_tiles, x_tiles), ...)
+                # from the caller — lets JIT-compiled callers select the
                 # O(P log) sort-based binning (inside a trace the
                 # host-side sizing below is unavailable); compute with
-                # required_points_per_tile / required_tiles_per_point
-                mppt, mtpp = binning_hints
+                # compute_binning_hints
+                mppt, mtpp = binning_hints[:2]
             elif not isinstance(pts_ndc, jax.core.Tracer):
                 need = int(
                     required_points_per_tile(
@@ -221,22 +338,32 @@ class Renderer:
                     jax.lax.stop_gradient(pts_ndc), r_ndc, valid, (H, W)
                 )
                 mtpp = (max(int(t[0]), 1), max(int(t[1]), 1))
-            idx = rasterize_points_fragments_pallas(
-                jax.lax.stop_gradient(pts_ndc), r_ndc, valid, (H, W),
-                self._n_track, mppt, mtpp,
-            )[0]
+            if mppt is not None and mtpp is not None:
+                # ONE binning serves the select pass AND the blend
+                # backward (ids/counts/rows are custom-VJP residuals)
+                tile = _tile_for_k(self._n_track)
+                data, ids, counts, rows, n_ty, n_tx = (
+                    bin_points_for_pulsar(
+                        jax.lax.stop_gradient(pts_ndc),
+                        jax.lax.stop_gradient(r_ndc), valid,
+                        (H, W), mppt, mtpp, tile,
+                    )
+                )
+                idx = select_from_binned(
+                    data, ids, counts, (H, W), self._n_track, n_tx, tile
+                )
+                shared_binning = (ids, counts, rows, n_tx, tile)
+            else:
+                idx = rasterize_points_fragments_pallas(
+                    jax.lax.stop_gradient(pts_ndc), r_ndc, valid, (H, W),
+                    self._n_track, mppt, mtpp,
+                )[0]
         else:
             idx = rasterize_points_topk_xla(
                 pts_ndc, r_ndc, valid, (H, W), self._n_track
             )  # (H, W, K)
-        sel = jnp.maximum(idx, 0)
         hit = idx >= 0
 
-        # differentiable recompute at selected spheres
-        from ...mesh.rasterize_meshes import pixel_grid_ndc
-
-        yf, xf = pixel_grid_ndc(H, W, vert_pos.dtype)
-        pxy = jnp.stack(jnp.meshgrid(yf, xf, indexing="ij")[::-1], axis=-1)
         # ONE row-gather of all per-sphere fields: eight scalar gathers
         # of (H, W, K) from P-row arrays were ~70% of the 1e6-sphere
         # forward (random single-float loads waste the cache line); a
@@ -252,48 +379,59 @@ class Renderer:
             ],
             axis=-1,
         )
-        g = table[sel]  # (H, W, K, 5 + C)
-        cx = g[..., 0]
-        cy = g[..., 1]
-        cz = g[..., 2]
-        cr = g[..., 3]
-        co = g[..., 4]
-        d2 = (pxy[..., None, 0] - cx) ** 2 + (pxy[..., None, 1] - cy) ** 2
-        closeness = jnp.clip(1.0 - d2 / (cr * cr), 0.0, 1.0)  # d_i
-
-        # normalized inverse depth in [0, 1]: 1 at min_depth, 0 at max_depth
-        z_norm = 1.0 - (cz - min_depth) / (max_depth - min_depth)
-        z_norm = jnp.clip(z_norm, 0.0, 1.0)
-
-        bg_logit = self._bg_norm_depth / gamma
-        logit = jnp.where(hit, co * z_norm / gamma, -jnp.inf)
-        logit_max = jnp.maximum(
-            jnp.max(logit, axis=-1), bg_logit
-        )  # include the background logit in the max shift
-        w_raw = co * closeness * jnp.exp(logit - logit_max[..., None])
-        w_raw = jnp.where(hit, w_raw, 0.0)
-        w_bg = jnp.exp(bg_logit - logit_max)
-        denom = jnp.sum(w_raw, axis=-1) + w_bg
 
         if mode == 1:
             # hit map: number of spheres whose silhouette covers the
             # pixel (reference mode=1 "render the hit map", ext.cpp)
+            _, _, _, w_raw, g = _blend_core(
+                table, idx, bg_col, gamma, min_depth, max_depth,
+                self._bg_norm_depth, H, W,
+            )
+            from ...mesh.rasterize_meshes import pixel_grid_ndc
+
+            yf, xf = pixel_grid_ndc(H, W, vert_pos.dtype)
+            pxy = jnp.stack(
+                jnp.meshgrid(yf, xf, indexing="ij")[::-1], axis=-1
+            )
+            d2 = (pxy[..., None, 0] - g[..., 0]) ** 2 + (
+                pxy[..., None, 1] - g[..., 1]
+            ) ** 2
+            closeness = 1.0 - d2 / (g[..., 3] * g[..., 3])
             hits = jnp.sum(
                 (hit & (closeness > 0.0)).astype(vert_pos.dtype), axis=-1
             )
             return hits[..., None]
 
-        cols = g[..., 5:]  # (H, W, K, C)
-        image = (
-            jnp.sum(w_raw[..., None] * cols, axis=-2)
-            + w_bg[..., None] * bg_col
-        ) / denom[..., None]
+        if shared_binning is not None:
+            ids, counts, rows, n_tx, tile = shared_binning
+            # scatter-free custom backward (see _blend_packed)
+            image = _blend_packed(
+                table, bg_col, ids, counts, rows, idx,
+                gamma, min_depth, max_depth, self._bg_norm_depth,
+                (H, W), n_tx, tile,
+            )
+            if return_forward_info:
+                _, denom, _, w_raw, g = _blend_core(
+                    jax.lax.stop_gradient(table), idx, bg_col, gamma,
+                    min_depth, max_depth, self._bg_norm_depth, H, W,
+                )
+                info = {
+                    "closest_ids": idx,
+                    "weights": w_raw / denom[..., None],
+                    "depths": jnp.where(hit, g[..., 2], -1.0),
+                }
+                return image, info
+            return image
 
+        image, denom, _, w_raw, g = _blend_core(
+            table, idx, bg_col, gamma, min_depth, max_depth,
+            self._bg_norm_depth, H, W,
+        )
         if return_forward_info:
             info = {
                 "closest_ids": idx,
                 "weights": w_raw / denom[..., None],
-                "depths": jnp.where(hit, cz, -1.0),
+                "depths": jnp.where(hit, g[..., 2], -1.0),
             }
             return image, info
         return image
