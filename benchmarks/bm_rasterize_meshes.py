@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .roofline import (
+    calibration_scale,
     fine_kernel_roofline_s,
     grad_kernel_roofline_s,
     raster_candidates,
@@ -115,6 +116,7 @@ def bench_config(level: int, image_size: int, K: int, blur: float):
                 unit="Mpix/s",
                 roofline_ms=ideal * 1e3,
                 roofline_frac=ideal / dt,
+                roofline_frac_cal=ideal / dt * calibration_scale(),
                 extra={
                     "faces": int(fv.shape[0]),
                     "candidates": cand,

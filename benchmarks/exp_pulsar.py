@@ -145,10 +145,20 @@ def bench_pointraster(P: int, rows: list) -> None:
 
 
 def main() -> None:
+    global SIZE
     rows = []
     for P in (10_000, 100_000, 1_000_000):
         bench_pulsar(P, rows)
         bench_pointraster(P, rows)
+    # the reference's claimed operating envelope: millions of spheres
+    # "up to 4K" (reference docs/notes/renderer_getting_started.md:73)
+    base = SIZE
+    try:
+        for size in (2048, 3840):
+            SIZE = size
+            bench_pulsar(1_000_000, rows)
+    finally:
+        SIZE = base
     with open("EXP_PULSAR.json", "w") as f:
         json.dump(rows, f, indent=1)
     print("wrote EXP_PULSAR.json")

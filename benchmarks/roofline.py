@@ -153,6 +153,54 @@ def measured_vpu_issue_ops() -> float:
     )
 
 
+@functools.lru_cache(maxsize=1)
+def demonstrated_vpu_issue_ops() -> float:
+    """Calibrated multi-issue ceiling: the best issue rate DEMONSTRATED
+    by a shipped kernel on this chip, measured live (VERDICT r4 weak#4:
+    the mixed-op probe is a lower bound — committed grids showed fracs
+    up to 1.69 against it, so it cannot adjudicate absolute targets).
+
+    The demonstrator is the KNN streaming-insertion kernel
+    (ops/knn_pallas.py) at 50k x 50k, D=3, K=8 — the same
+    lanes-by-SMEM-stream architecture as the rasterizer kernels, whose
+    useful-op rate was measured at ~2x the probe (PERF_ANALYSIS.md
+    "Other hot paths").  Analytic useful ops per candidate pair:
+      distance D=3: 3 sub + 3 mul + 2 add        = 8
+      K=8 ascending insertion: (cmp + 2 select)  = 24
+      index bookkeeping + validity               = 6
+    -> 38 ops/pair.  Returns max(probe, knn_rate) so the denominator
+    never falls below the probe."""
+    probe = measured_vpu_issue_ops()
+    if jax.default_backend() != "tpu":
+        return probe
+    from .runner import time_fn
+
+    try:
+        from pytorch3d_tpu.ops.knn_pallas import knn_points_pallas_single
+
+        n = 50_000
+        key = jax.random.PRNGKey(0)
+        a = jax.random.normal(key, (n, 3))
+        b = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+        run = jax.jit(
+            lambda: knn_points_pallas_single(
+                a, b, jnp.asarray(n, jnp.int32), K=8, norm=2
+            )
+        )
+        run()
+        dt = time_fn(lambda: run(), warmup=2, iters=5)
+        knn_rate = n * n * 38 / dt
+    except Exception:  # pragma: no cover — calibration must not break a run
+        return probe
+    return max(probe, knn_rate)
+
+
+def calibration_scale() -> float:
+    """probe/demonstrated ratio (<= 1): multiply a probe-based
+    roofline_frac by this to get the calibrated fraction."""
+    return measured_vpu_issue_ops() / demonstrated_vpu_issue_ops()
+
+
 def fine_kernel_flops_per_candidate(
     faces_per_pixel: int,
     blur: bool,

@@ -25,14 +25,20 @@ class BenchRow:
     unit_rate: Optional[float] = None  # e.g. Mpix/s, Mrays/s
     unit: Optional[str] = None
     roofline_ms: Optional[float] = None  # model-ideal time
-    roofline_frac: Optional[float] = None  # roofline_ms / ms
+    roofline_frac: Optional[float] = None  # roofline_ms / ms (probe-based
+    # lower-bound denominator; can exceed 1 — kept for comparability with
+    # earlier rounds)
+    roofline_frac_cal: Optional[float] = None  # frac against the
+    # CALIBRATED ceiling (roofline.demonstrated_vpu_issue_ops; <= 1)
     extra: Dict[str, Any] = field(default_factory=dict)
 
     def line(self) -> str:
         s = f"{self.name:48s} {self.ms:9.3f} ms"
         if self.unit_rate is not None:
             s += f"  {self.unit_rate:10.2f} {self.unit}"
-        if self.roofline_frac is not None:
+        if self.roofline_frac_cal is not None:
+            s += f"  roofline {100 * self.roofline_frac_cal:5.1f}%cal"
+        elif self.roofline_frac is not None:
             s += f"  roofline {100 * self.roofline_frac:5.1f}%"
         return s
 
