@@ -120,8 +120,6 @@ def main(steps: int) -> None:
     )
 
     # implicit function alone on the training-shaped point cloud
-    fn = model._implicit_functions  # noqa: SLF001 — profiling internals
-
     from pytorch3d_tpu.implicitron.models.renderer.base import (
         ImplicitronRayBundle,
     )

@@ -71,7 +71,10 @@ def safe_save_model(
         shutil.rmtree(path)
     os.replace(tmp, path)
     if stats is not None:
-        stats.save(path + "_stats.json")
+        # MUST go through get_stats_path: an ad-hoc "_stats.json" suffix
+        # here silently broke stats resume (loaders look up the
+        # get_stats_path name; found by test_experiment_roundtrip)
+        stats.save(get_stats_path(path))
     return path
 
 
@@ -91,7 +94,7 @@ def load_model(path: str, like: Optional[Any] = None) -> Tuple[Any, Any, Optiona
     else:
         data = ckpt.restore(os.path.abspath(path))
     stats = None
-    stats_path = path + "_stats.json"
+    stats_path = get_stats_path(path)
     if os.path.isfile(stats_path):
         from .stats import Stats
 
@@ -103,8 +106,7 @@ def purge_epoch(exp_dir: str, epoch: int) -> None:
     path = os.path.join(exp_dir, "model_epoch_%08d" % epoch)
     if os.path.isdir(path):
         shutil.rmtree(path)
-    for suffix in ("_stats.json",):
-        f = path + suffix
+    for f in (get_stats_path(path), path + "_stats.json"):
         if os.path.isfile(f):
             os.remove(f)
 

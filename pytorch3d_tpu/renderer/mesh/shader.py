@@ -153,7 +153,12 @@ class HardDepthShader(ShaderBase):
         zfar = kwargs.get("zfar", getattr(cameras, "zfar", 100.0))
         zbuf = fragments.zbuf[..., 0:1]
         mask = fragments.pix_to_face[..., 0:1] < 0
-        return jnp.where(mask, jnp.asarray(zfar, zbuf.dtype), zbuf)
+        # a batched camera carries zfar of shape (N,): align it with the
+        # (N, H, W, 1) image axes, else it broadcasts into the channels
+        zfar = jnp.reshape(
+            jnp.asarray(zfar, zbuf.dtype), (-1,) + (1,) * (zbuf.ndim - 1)
+        )
+        return jnp.where(mask, zfar, zbuf)
 
 
 class SoftDepthShader(ShaderBase):
@@ -168,7 +173,9 @@ class SoftDepthShader(ShaderBase):
         alpha = 1.0 - jnp.prod(1.0 - prob, axis=-1, keepdims=True)
         weights = prob / jnp.maximum(jnp.sum(prob, axis=-1, keepdims=True), 1e-10)
         depth = jnp.sum(weights * fragments.zbuf, axis=-1, keepdims=True)
-        bg = jnp.asarray(zfar, depth.dtype)
+        bg = jnp.reshape(
+            jnp.asarray(zfar, depth.dtype), (-1,) + (1,) * (depth.ndim - 1)
+        )
         return depth * alpha + bg * (1.0 - alpha)
 
 

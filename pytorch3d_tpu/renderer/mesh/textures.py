@@ -228,6 +228,15 @@ class TexturesUV:
             )
         else:
             verts_uvs = jnp.asarray(verts_uvs, jnp.float32)
+        if maps.ndim != 4:
+            raise ValueError("maps must be (N, H, W, C)")
+        if not (
+            maps.shape[0] == faces_uvs.shape[0] == verts_uvs.shape[0]
+        ):
+            raise ValueError(
+                "maps, faces_uvs and verts_uvs must have the same batch"
+                " dimension (reference textures.py TexturesUV.__init__)"
+            )
         return cls(
             _maps_padded=maps,
             _faces_uvs_padded=faces_uvs,
