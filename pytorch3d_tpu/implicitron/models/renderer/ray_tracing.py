@@ -117,7 +117,7 @@ class RayTracing(Configurable):
         f_hi = jnp.take_along_axis(vals, first[:, None], axis=1)[:, 0]
 
         def secant(i, carry):
-            t_lo, t_hi, f_lo, f_hi = carry
+            t_lo, t_hi, f_lo, f_hi, _ = carry
             denom = f_hi - f_lo
             t_mid = t_lo - f_lo * (t_hi - t_lo) / jnp.where(
                 jnp.abs(denom) < 1e-12, 1.0, denom
@@ -128,12 +128,18 @@ class RayTracing(Configurable):
             f_lo = jnp.where(lo, f_mid, f_lo)
             t_hi = jnp.where(lo, t_hi, t_mid)
             f_hi = jnp.where(lo, f_hi, f_mid)
-            return t_lo, t_hi, f_lo, f_hi
+            return t_lo, t_hi, f_lo, f_hi, t_mid
 
-        t_lo, t_hi, _, _ = jax.lax.fori_loop(
-            0, self.n_secant_steps, secant, (t_lo, t_hi, f_lo, f_hi)
+        *_, t_secant = jax.lax.fori_loop(
+            0,
+            self.n_secant_steps,
+            secant,
+            (t_lo, t_hi, f_lo, f_hi, 0.5 * (t_lo + t_hi)),
         )
-        t_secant = 0.5 * (t_lo + t_hi)
+        # the LAST secant estimate, not the bracket midpoint: the secant
+        # bracket often shrinks one-sided, so its midpoint stays coarse
+        # while z_pred has already converged (reference ray_tracing.py
+        # `run_secant_method` returns z_pred)
 
         # missed rays return the point of MINIMAL sdf along the ray
         # (reference ray_tracing.py:509 `minimal_sdf_points`): the soft

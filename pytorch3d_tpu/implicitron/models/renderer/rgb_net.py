@@ -9,9 +9,11 @@ omit the normals or view directions.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ....renderer.implicit.harmonic_embedding import HarmonicEmbedding
@@ -69,8 +71,28 @@ class RayNormalColoringNetwork(nn.Module):
 
         x = rendering_input
         n_layers = len(self.dims) + 1
+        # torch nn.Linear init (kaiming-uniform a=sqrt(5) == uniform
+        # +-1/sqrt(fan_in), bias the same): the reference's rgb net
+        # trains under exactly this scale, and weight-norm freezes the
+        # initial column norms into the parametrization
+        kinit = nn.initializers.variance_scaling(
+            1.0 / 3.0, "fan_in", "uniform"
+        )
+
+        def binit(rng, shape, dtype=jnp.float32, fan_in=1):
+            bound = 1.0 / jnp.sqrt(fan_in)
+            return jax.random.uniform(
+                rng, shape, dtype, minval=-bound, maxval=bound
+            )
+
         for li, out_dim in enumerate(list(self.dims) + [self.d_out]):
-            lin = nn.Dense(out_dim, name=f"linear{li}")
+            fan_in = x.shape[-1]
+            lin = nn.Dense(
+                out_dim,
+                name=f"linear{li}",
+                kernel_init=kinit,
+                bias_init=functools.partial(binit, fan_in=fan_in),
+            )
             if self.weight_norm:
                 lin = nn.WeightNorm(lin, name=f"wn{li}")
             x = lin(x)
