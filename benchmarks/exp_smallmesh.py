@@ -45,8 +45,11 @@ def main() -> None:
     ]
     try:
         for th in (32, 64, 128):
+            # the emit/blur fine kernel carries ~12 (K, TH, TW) planes:
+            # K*TH=1024 at K=8/TH=128 measured 16.78M scoped vmem vs the
+            # 16M limit — keep K*TH <= 512 for the experiment
             rp._tile_for_k = lambda K, _th=th: (
-                (_th, 128) if K * _th <= 1024 else orig(K)
+                (_th, 128) if K * _th <= 512 else orig(K)
             )
             jax.clear_caches()
             for name, level, size, K, blur in CASES:

@@ -42,12 +42,59 @@ from ...tools.config import ReplaceableBase, registry
 # --------------------------------------------------------------------------- #
 
 
+# One-hot interpolation weights: for the SMALL axes of factorized grids
+# (<= _ONEHOT_MAX_AXIS), linear interpolation is expressed as a dense
+# (P, n) weight matrix contracted on the MXU instead of corner GATHERS.
+# Rationale (round 5, EXP_VOXEL): the voxel train step was op-count
+# bound — the gather-based grid_sample emitted ~60 equations and several
+# tiny gather kernels per plane sample, ~1,830 equations for the field
+# alone; a one-hot weight build is ~8 vector ops and one GEMM.
+_ONEHOT_MAX_AXIS = 512
+
+
+def _onehot_lerp_weights(coord, size, align_corners, padding_mode):
+    """(..., ) coords in [-1, 1] -> (..., size) linear-interp weights."""
+    from ....ops.grid_sample import _unnormalize
+
+    x = _unnormalize(coord, size, align_corners)
+    x0 = jnp.floor(x)
+    w1 = x - x0
+    i0 = x0.astype(jnp.int32)
+    if padding_mode == "border":
+        v0 = jnp.ones_like(w1, bool)
+        v1 = v0
+    else:  # zeros
+        v0 = (i0 >= 0) & (i0 <= size - 1)
+        v1 = (i0 + 1 >= 0) & (i0 + 1 <= size - 1)
+    i0c = jnp.clip(i0, 0, size - 1)
+    i1c = jnp.clip(i0 + 1, 0, size - 1)
+    iota = jnp.arange(size, dtype=jnp.int32)
+    oh0 = (iota == i0c[..., None]).astype(coord.dtype)
+    oh1 = (iota == i1c[..., None]).astype(coord.dtype)
+    return (
+        oh0 * jnp.where(v0, 1.0 - w1, 0.0)[..., None]
+        + oh1 * jnp.where(v1, w1, 0.0)[..., None]
+    )
+
+
 def interpolate_line(
     points: jnp.ndarray,  # (G, P, 1) in [-1, 1]
     source: jnp.ndarray,  # (G, C, W)
     **kwargs,
 ) -> jnp.ndarray:
     """1D linear interpolation along W (reference utils.py:97)."""
+    W = source.shape[-1]
+    mode = kwargs.get("mode", "bilinear")
+    if W <= _ONEHOT_MAX_AXIS and mode in ("bilinear", "trilinear"):
+        wts = _onehot_lerp_weights(
+            points[..., 0], W,
+            kwargs.get("align_corners", False),
+            kwargs.get("padding_mode", "zeros"),
+        )  # (G, P, W)
+        return jnp.einsum(
+            "gpw,gcw->gpc", wts, source,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     expansion = jnp.zeros_like(points)
     pts = jnp.concatenate([points, expansion], axis=-1)  # (G, P, 2)
     out = grid_sample(source[:, :, None, :], pts[:, :, None, :], **kwargs)
@@ -61,6 +108,26 @@ def interpolate_plane(
 ) -> jnp.ndarray:
     """2D interpolation; source is (features, width, height), so swap the
     spatial axes into grid_sample's (H, W) convention (reference :130)."""
+    Wd, Hd = source.shape[2], source.shape[3]
+    mode = kwargs.get("mode", "bilinear")
+    if (
+        Wd <= _ONEHOT_MAX_AXIS
+        and Hd <= _ONEHOT_MAX_AXIS
+        and mode in ("bilinear", "trilinear")
+    ):
+        ac = kwargs.get("align_corners", False)
+        pm = kwargs.get("padding_mode", "zeros")
+        wx = _onehot_lerp_weights(points[..., 0], Wd, ac, pm)  # (G, P, W)
+        wy = _onehot_lerp_weights(points[..., 1], Hd, ac, pm)  # (G, P, H)
+        # two-stage contraction rides the MXU: (G,P,W)x(G,C,W,H)->(G,P,C,H)
+        tmp = jnp.einsum(
+            "gpw,gcwh->gpch", wx, source,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.einsum(
+            "gph,gpch->gpc", wy, tmp,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     src = jnp.swapaxes(source, 2, 3)  # (G, C, H, W)
     out = grid_sample(src, points[:, :, None, :], **kwargs)
     return jnp.moveaxis(out[:, :, :, 0], 1, 2)

@@ -33,6 +33,7 @@ from ..renderer.mesh.rasterize_meshes import (
     rasterize_topk_xla_at_pixels,
 )
 from ..renderer.mesh.rasterize_pallas import (
+    _tile_for,
     _tile_for_k,
     rasterize_fragments_pallas_band,
     required_faces_per_tile,
@@ -148,7 +149,9 @@ def _rasterize_shard_map_pallas(
     the face-vertex gradient across bands."""
     H, W = image_size
     n = mesh.shape[axis]
-    TH, _ = _tile_for_k(faces_per_pixel)
+    TH, _ = _tile_for(
+        faces_per_pixel, face_verts.shape[0], H
+    )
     if (H // n) % TH != 0:
         raise ValueError(
             f"band height {H // n} must be a multiple of the K-aware tile"
@@ -160,7 +163,8 @@ def _rasterize_shard_map_pallas(
     if mft is None and not isinstance(face_verts, jax.core.Tracer):
         # exact capacity, same policy as the unsharded eager entry
         need = required_faces_per_tile(
-            face_verts, valid, (H, W), blur_radius
+            face_verts, valid, (H, W), blur_radius,
+            tile=_tile_for(faces_per_pixel, face_verts.shape[0], H),
         )
         need = max(int(need), 1)
         mft = 1 << (need - 1).bit_length()

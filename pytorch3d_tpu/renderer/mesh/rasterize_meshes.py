@@ -465,9 +465,14 @@ def rasterize_meshes(
             # warns-and-drops at kMaxFacesPerBin instead,
             # rasterize_coarse.cu:192-199).  Bucketed to powers of two to
             # bound recompilation.
+            from .rasterize_pallas import _tile_for
+
+            kernel_tile = _tile_for(
+                faces_per_pixel, fv_batched.shape[1], H
+            )
             need = jax.vmap(
                 lambda v, m: required_faces_per_tile(
-                    v, m, (H, W), blur_radius
+                    v, m, (H, W), blur_radius, tile=kernel_tile
                 )
             )(fv_batched, mask_batched)
             need = max(int(jnp.max(need)), 1)
@@ -494,14 +499,21 @@ def rasterize_meshes(
             # (rasterize_coarse.cu:192-199), async via debug.callback.
             # (Skipped on runtimes without host callbacks, e.g. axon_pjrt;
             # callers there can probe required_faces_per_tile eagerly.)
-            from .rasterize_pallas import _round_mft, required_faces_per_tile
+            from .rasterize_pallas import (
+                _round_mft,
+                _tile_for,
+                required_faces_per_tile,
+            )
 
             eff = _round_mft(
                 mft if mft is not None else max(1024, F // 4), fv_batched.shape[1]
             )
+            kernel_tile = _tile_for(faces_per_pixel, fv_batched.shape[1], H)
             need = jnp.max(
                 jax.vmap(
-                    lambda v, m: required_faces_per_tile(v, m, (H, W), blur_radius)
+                    lambda v, m: required_faces_per_tile(
+                        v, m, (H, W), blur_radius, tile=kernel_tile
+                    )
                 )(fv_batched, mask_batched)
             )
 

@@ -70,6 +70,22 @@ _CHUNK = 1024  # faces per streamed SMEM chunk (shared by select + grad)
 _MFT_HARD_CAP = 32768  # absolute per-tile face-list capacity (32 chunks)
 
 
+def _tile_for(K: int, F: int, H: int) -> Tuple[int, int]:
+    """F- and size-aware pixel tile.
+
+    Small face lists at large images are Pallas-program-launch bound:
+    every 32-row tile bins nearly the whole mesh and does almost no
+    work, so a 64-row tile (half the programs) wins 25-41% fwd+bwd on
+    ico0-ico2 at 512^2/1024^2 (EXP_SMALLMESH.json round 5).  Gated to
+    K*64 <= 512 — the emit kernel holds ~12 (K, TH, TW) fp32 planes and
+    K8/TH128 measured 16.78M scoped vmem vs Mosaic's 16M limit — and to
+    H >= 256 so banded/sharded callers with few tile rows keep their
+    row granularity."""
+    if F <= 2048 and K * 64 <= 512 and H >= 256:
+        return (64, _TILE_W)
+    return _tile_for_k(K)
+
+
 def _tile_for_k(K: int) -> Tuple[int, int]:
     """Pixel-tile shape for a given faces_per_pixel.
 
@@ -550,7 +566,7 @@ def rasterize_topk_pallas(
     K = faces_per_pixel
     F = face_verts.shape[0]
     if tile is None:
-        tile = _tile_for_k(K)
+        tile = _tile_for(K, F, H)
     TH, TW = tile
 
     ok = _face_ok(face_verts, valid, cull_backfaces)
@@ -729,7 +745,7 @@ def rasterize_hard_pallas(
     reference pairs MeshRasterizerOpenGL with splatter shading."""
     H, W = image_size
     F = face_verts.shape[0]
-    tile = (_TILE_H, _TILE_W)
+    tile = _tile_for(1, F, H)
     TH, TW = tile
 
     face_verts = jax.lax.stop_gradient(face_verts)
@@ -1014,7 +1030,7 @@ def rasterize_grad_pallas(
     K = faces_per_pixel
     n_tiles, _, MFT = fv9.shape
     n_ty = n_tiles // n_tx
-    tile = _tile_for_k(K)  # must match the fwd binning tile
+    tile = _tile_for(K, F, image_size[0])  # must match the fwd binning tile
     TH, TW = tile
     H_loc = pix_to_face.shape[0]  # == H unless banded
     Hp, Wp = n_ty * TH, n_tx * TW
@@ -1141,7 +1157,7 @@ def _rfp_fwd_impl(
     H, W = image_size
     K = faces_per_pixel
     F = face_verts.shape[0]
-    tile = _tile_for_k(K)
+    tile = _tile_for(K, F, H)
     TH, TW = tile
     banded = ty0 is not None
     if banded and H % TH != 0:
