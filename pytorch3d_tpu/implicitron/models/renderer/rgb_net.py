@@ -85,16 +85,25 @@ class RayNormalColoringNetwork(nn.Module):
                 rng, shape, dtype, minval=-bound, maxval=bound
             )
 
+        # torch nn.utils.weight_norm semantics (reference rgb_net.py:82):
+        # g is initialized to |v_init| per output unit so the initial
+        # forward pass equals the un-normalized torch Linear.  flax's
+        # nn.WeightNorm initializes scale to ONES instead, which (with
+        # torch-uniform init, column norm ~1/sqrt(3)) scales every
+        # layer's effective weights up ~1.73x at init — compounding to
+        # ~15x at the pre-tanh output and destabilizing late color
+        # convergence (round-5 SDF plateau/oscillation).
+        from ..implicit_function.idr_feature_field import _WeightNormDense
+
         for li, out_dim in enumerate(list(self.dims) + [self.d_out]):
             fan_in = x.shape[-1]
-            lin = nn.Dense(
+            cls = _WeightNormDense if self.weight_norm else nn.Dense
+            lin = cls(
                 out_dim,
                 name=f"linear{li}",
                 kernel_init=kinit,
                 bias_init=functools.partial(binit, fan_in=fan_in),
             )
-            if self.weight_norm:
-                lin = nn.WeightNorm(lin, name=f"wn{li}")
             x = lin(x)
             if li < n_layers - 1:
                 x = nn.relu(x)

@@ -5,9 +5,12 @@ Parity: reference ops/points_to_volumes.py:191
 (`add_points_features_to_volume_densities_features`) + csrc/points_to_volumes/
 (878 LoC custom fwd/bwd).
 
-TPU design: the trilinear scatter-add is 8 masked `scatter-add`s into the
-flattened grid (XLA lowers to sorted segment sums); its transpose (a
-gather) is the backward — no custom kernel.
+TPU design: density and features are packed into one (P*corners, 1+C)
+row payload and splatted with a SINGLE row scatter-add into the
+flattened (N_vox, 1+C) grid (XLA lowers to one sorted segment sum of
+rows, minor-axis contiguous) — replacing the round-4 form's per-corner,
+per-channel scalar scatters (1 + C scatters x 8 corners).  Its
+transpose (a row gather) is the backward — no custom kernel.
 """
 
 from __future__ import annotations
@@ -81,9 +84,6 @@ def add_points_features_to_volume_densities_features(
     z = (points_3d[..., 2] + 1.0) * 0.5 * (D - 1)
 
     def splat_one(xb, yb, zb, fb, mb, dens0, feat0):
-        dens = dens0.reshape(-1)  # (N_vox,)
-        feat = feat0.reshape(C, -1)
-
         if mode == "nearest":
             corners = [(jnp.round(xb), jnp.round(yb), jnp.round(zb), None)]
         elif mode == "trilinear":
@@ -99,22 +99,30 @@ def add_points_features_to_volume_densities_features(
         else:
             raise ValueError('No such interpolation mode "%s"' % mode)
 
+        idx_all, w_all = [], []
         for cx, cy, cz, w in corners:
             w = mb if w is None else w * mb
             inb = (
                 (cx >= 0) & (cx <= W - 1) & (cy >= 0) & (cy <= H - 1)
                 & (cz >= 0) & (cz <= D - 1)
             )
-            w = jnp.where(inb, w, 0.0)
-            idx = (
+            w_all.append(jnp.where(inb, w, 0.0))
+            idx_all.append(
                 jnp.clip(cz, 0, D - 1).astype(jnp.int32) * (H * W)
                 + jnp.clip(cy, 0, H - 1).astype(jnp.int32) * W
                 + jnp.clip(cx, 0, W - 1).astype(jnp.int32)
             )
-            dens = dens.at[idx].add(w)
-            feat = feat + jax.vmap(
-                lambda fc: jnp.zeros((N_vox,), feat.dtype).at[idx].add(w * fc)
-            )(fb.T)
+        idx = jnp.concatenate(idx_all)  # (corners*P,)
+        w = jnp.concatenate(w_all)  # (corners*P,)
+        # packed rows [density | features]: one scatter-add of
+        # (corners*P, 1+C) rows instead of (1+C) scalar scatters/corner
+        payload = jnp.concatenate(
+            [jnp.ones((fb.shape[0], 1), fb.dtype), fb], axis=-1
+        )
+        payload = jnp.tile(payload, (len(corners), 1)) * w[:, None]
+        acc = jnp.zeros((N_vox, 1 + C), feat0.dtype).at[idx].add(payload)
+        dens = dens0.reshape(-1) + acc[:, 0]
+        feat = feat0.reshape(C, -1) + acc[:, 1:].T
         return dens.reshape(1, D, H, W), feat.reshape(C, D, H, W)
 
     dens_out, feat_out = jax.vmap(splat_one)(
