@@ -281,6 +281,18 @@ def run_ours(family: str, scene: str, steps: int) -> None:
             ),
         )
         eval_rows.append(eval_batch(frame, render, bg_color="black"))
+        if os.environ.get("P3D_DUMP_RENDERS"):
+            np.savez(
+                os.path.join(
+                    os.environ["P3D_DUMP_RENDERS"],
+                    f"{family}_{scene}_test{j}.npz",
+                ),
+                render=np.asarray(img_r).reshape(S, S, 3),
+                mask=(np.asarray(mask_r).reshape(S, S)
+                      if mask_r is not None else None),
+                gt=images[j],
+                fg=fg[j],
+            )
     eval_mean = {
         k: float(np.mean([r[k] for r in eval_rows]))
         for k in eval_rows[0]
