@@ -1,11 +1,36 @@
 """Sphere tracing for SDF rendering (IDR).
 
 Parity: reference implicitron/models/renderer/ray_tracing.py:14
-(`RayTracing`: sphere tracing + secant root refinement).
+(`RayTracing`: two-sided sphere tracing + dense sampler + secant root
+refinement).
 
 TPU design: the reference's data-dependent while loops and masked index
 updates become fixed-iteration `lax.fori_loop`s over all rays (inactive
 rays carry through unchanged) — XLA-friendly, no dynamic ray compaction.
+
+Structure (mirrors the reference's accounting, ray_tracing.py:48-157):
+1. start/end tracers march inward from the bounding-sphere
+   intersections, each with an `unfinished` mask (frozen once its sdf
+   drops below threshold, or once the tracers cross);
+2. hit/miss for tracer-resolved rays is `t_start < t_end` (a missing
+   ray marches the start tracer past the end tracer;
+   reference :100 `network_object_mask = acc_start_dis < acc_end_dis`);
+3. rays still unfinished after the iteration cap (grazing rays near
+   the silhouette) go to the dense sampler over the TIGHT remaining
+   interval [t_start, t_end] (reference :102-117 `sampler_min_max`) —
+   n_steps samples of a small span resolve silhouette crossings that
+   the same n_steps over the whole sphere chord miss (measured: this
+   was the round-5 boundary-error driver, interior MSE 0.002 vs
+   boundary 0.021);
+4. the first NON-POSITIVE sample marks the crossing (reference :391
+   sign*arange argmin trick): a span that starts inside a negative
+   region yields index 0 — a hit at the tracer's stopped position, so
+   start-side overshoot cannot punch holes;
+5. secant refinement on the bracketing pair (reference :427);
+6. missed rays return the point of minimal sdf (soft-mask support):
+   sampler-handled rays over their tight span, tracer-resolved misses
+   over the original sphere chord (reference :509
+   `minimal_sdf_points` on [min_dis, max_dis]).
 """
 
 from __future__ import annotations
@@ -54,59 +79,57 @@ class RayTracing(Configurable):
         def eval_sdf(t):
             return sdf(o + t[:, None] * d)
 
-        # --- two-sided sphere tracing with overshoot backtracking
-        # (reference ray_tracing.py:219 `sphere_tracing`): the START
-        # tracer advances from t_near, the END tracer retreats from
-        # t_far; overshoots into the surface (sdf < 0) back off by
-        # line_search_step * sdf for line_step_iters.  The tighter
-        # [t_start, t_end] span is what the dense fallback samples — the
-        # same n_steps buy much finer roots than spanning the whole
-        # bounding sphere.
+        # --- two-sided sphere tracing with unfinished masks and
+        # overshoot backtracking (reference sphere_tracing :159-339)
         def trace(i, carry):
-            t_s, t_e = carry
+            t_s, t_e, unf_s, unf_e = carry
             v_s = eval_sdf(t_s)
             v_e = eval_sdf(t_e)
-            t_s_new = t_s + v_s
-            t_e_new = t_e - v_e
-            for _ in range(self.line_step_iters):
+            # freeze converged tracers (signed threshold, reference
+            # :242-246: any sdf <= threshold counts as surface)
+            unf_s = unf_s & (v_s > self.sdf_threshold)
+            unf_e = unf_e & (v_e > self.sdf_threshold)
+            step_s = jnp.where(unf_s, v_s, 0.0)
+            step_e = jnp.where(unf_e, v_e, 0.0)
+            t_s_new = t_s + step_s
+            t_e_new = t_e - step_e
+            # back off tracers that overshot inside (sdf < 0),
+            # reference :292-301: (1 - step) / 2^k * last step
+            for k in range(self.line_step_iters):
                 v_s_new = eval_sdf(t_s_new)
                 v_e_new = eval_sdf(t_e_new)
+                back = (1.0 - self.line_search_step) / (2.0**k)
                 t_s_new = jnp.where(
-                    v_s_new < 0.0,
-                    t_s_new - self.line_search_step * v_s,
-                    t_s_new,
+                    unf_s & (v_s_new < 0.0), t_s_new - back * step_s, t_s_new
                 )
                 t_e_new = jnp.where(
-                    v_e_new < 0.0,
-                    t_e_new + self.line_search_step * v_e,
-                    t_e_new,
+                    unf_e & (v_e_new < 0.0), t_e_new + back * step_e, t_e_new
                 )
-            t_s = jnp.clip(t_s_new, t_near, t_far)
-            t_e = jnp.clip(t_e_new, t_s, t_far)
-            return t_s, t_e
+            # crossed tracers end both marches (reference :325-328)
+            alive = t_s_new < t_e_new
+            unf_s = unf_s & alive
+            unf_e = unf_e & alive
+            return t_s_new, t_e_new, unf_s, unf_e
 
-        t, t_end = jax.lax.fori_loop(
-            0, self.sphere_tracing_iters, trace, (t_near, t_far)
+        t_s, t_e, unf_s, unf_e = jax.lax.fori_loop(
+            0,
+            self.sphere_tracing_iters,
+            trace,
+            (t_near, t_far, hit_sphere, hit_sphere),
         )
-        sdf_at_t = eval_sdf(t)
-        converged = jnp.abs(sdf_at_t) < self.sdf_threshold
+        tracer_hit = t_s < t_e  # reference :100
+        sampler_mask = unf_s  # stalled start tracer -> dense sampler
 
-        # --- dense fallback: sample n_steps over [t_near, t_end] — the
-        # end tracer tightens the far bound; the start stays at t_near
-        # because a start tracer that overshot INSIDE the surface would
-        # break the positive->negative first-crossing detection
-        # (measured: spanning [t, t_end] cost 2 dB at 750 steps)
-        ts = t_near[:, None] + jnp.clip(t_end - t_near, 0.0)[
-            :, None
-        ] * jnp.linspace(0.0, 1.0, self.n_steps)
+        # --- dense sampler over the TIGHT remaining interval
+        # [t_s, t_e] of stalled rays (reference ray_sampler :340-427).
+        # Evaluated for every ray (XLA style); consumed where
+        # sampler_mask.
+        span = jnp.clip(t_e - t_s, 0.0)
+        ts = t_s[:, None] + span[:, None] * jnp.linspace(
+            0.0, 1.0, self.n_steps
+        )
         vals = sdf((o[:, None] + ts[..., None] * d[:, None]).reshape(-1, 3))
         vals = vals.reshape(M, self.n_steps)
-        # first NON-POSITIVE sample (reference ray_tracing.py:471
-        # sign*arange argmin trick): requiring a positive predecessor
-        # would silently drop rays whose span starts inside a spurious
-        # negative lobe of the still-imperfect SDF — those rendered
-        # background INSIDE the mask and never received an rgb gradient
-        # (measured: hole artifacts + ~4 dB on the cow scene)
         neg = vals <= 0
         any_cross = jnp.any(neg, axis=-1)
         first = jnp.argmax(neg, axis=-1)
@@ -139,19 +162,42 @@ class RayTracing(Configurable):
         # the LAST secant estimate, not the bracket midpoint: the secant
         # bracket often shrinks one-sided, so its midpoint stays coarse
         # while z_pred has already converged (reference ray_tracing.py
-        # `run_secant_method` returns z_pred)
+        # `run_secant_method` returns z_pred).  A crossing at index 0
+        # (span starts inside the surface) degenerates to the span
+        # start: t_lo == t_hi there, the secant is a fixed point.
+        t_secant = jnp.where(first == 0, t_s, t_secant)
 
-        # missed rays return the point of MINIMAL sdf along the ray
-        # (reference ray_tracing.py:509 `minimal_sdf_points`): the soft
-        # miss-mask sigmoid(-alpha*sdf) is evaluated there, which is what
-        # lets the mask BCE pull the surface outward into mask-positive
-        # regions.  (Returning t_far instead leaves the mask gradient
-        # ~zero on false-negative rays — measured IoU stuck at 0.46 on
-        # the cow scene.)
-        t_min = jnp.take_along_axis(
+        # --- missed rays return the point of MINIMAL sdf along the ray
+        # (reference minimal_sdf_points :509): the soft miss-mask
+        # sigmoid(-alpha*sdf) is evaluated there, which is what lets the
+        # mask BCE pull the surface outward into mask-positive regions.
+        # Sampler-handled misses use their tight span's minimum
+        # (reference :406-419); tracer-resolved misses sample the
+        # ORIGINAL sphere chord [t_near, t_far] (reference :145-155 on
+        # [min_dis, max_dis]).
+        t_min_tight = jnp.take_along_axis(
             ts, jnp.argmin(vals, axis=-1)[:, None], axis=1
         )[:, 0]
-        t_final = jnp.where(converged, t, jnp.where(any_cross, t_secant, t_min))
-        network_object_mask = hit_sphere & (converged | any_cross)
+        ts_wide = t_near[:, None] + jnp.clip(t_far - t_near, 0.0)[
+            :, None
+        ] * jnp.linspace(0.0, 1.0, self.n_steps)
+        vals_wide = sdf(
+            (o[:, None] + ts_wide[..., None] * d[:, None]).reshape(-1, 3)
+        ).reshape(M, self.n_steps)
+        t_min_wide = jnp.take_along_axis(
+            ts_wide, jnp.argmin(vals_wide, axis=-1)[:, None], axis=1
+        )[:, 0]
+        t_min = jnp.where(sampler_mask, t_min_tight, t_min_wide)
+
+        # --- combine: tracer-resolved rays keep t_s (hit) with
+        # tracer_hit as the mask; sampler rays hit iff their first
+        # non-positive sample exists (reference sampler_net_obj_mask
+        # :425)
+        sampler_hit = sampler_mask & any_cross
+        network_object_mask = hit_sphere & jnp.where(
+            sampler_mask, sampler_hit, tracer_hit
+        )
+        t_hit = jnp.where(sampler_mask, t_secant, t_s)
+        t_final = jnp.where(network_object_mask, t_hit, t_min)
         points = o + t_final[:, None] * d
         return points, network_object_mask, t_final
